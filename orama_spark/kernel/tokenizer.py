@@ -1,0 +1,124 @@
+"""Tokenizer kernel — exact port of the reference default tokenizer.
+
+Reference: /root/reference/packages/orama/src/components/tokenizer/index.ts:19-93
+Split regexes: .../tokenizer/languages.ts:34-65
+
+Pipeline (tokenizer/index.ts:57-93):
+    input.toLowerCase()
+      -> split on the per-language regex
+      -> per-token normalize: stopword? -> '' ; stem (unless prop in
+         stemmer_skip) ; fold diacritics      (tokenizer/index.ts:19-44)
+      -> drop empty tokens (filter(Boolean))
+      -> trim leading/trailing '' (vestigial after the filter)
+      -> dedupe preserving first-occurrence order unless allow_duplicates
+
+This kernel is shared verbatim by the Spark Arrow UDFs (build side and
+query side) and by the pure-Python oracle, so engine and oracle cannot
+drift. A per-instance memo dict mirrors the reference's
+``normalizationCache`` (tokenizer/index.ts:20-43) — it caches the
+stemming hot path per unique (prop, token).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .diacritics import replace_diacritics
+from .stemmer import stem as porter_stem
+from .stopwords_en import STOPWORDS_EN
+
+# Split regex for English (languages.ts:36): /[^A-Za-zàèéìòóù0-9_'-]+/gim
+# Input is lowercased before the split, so the effective class keeps
+# a-z, the 7 accented chars, digits, '_', "'", '-'.
+SPLITTERS: dict[str, re.Pattern] = {
+    "english": re.compile(r"[^a-zA-Zàèéìòóù0-9_'-]+", re.IGNORECASE),
+}
+
+SUPPORTED_LANGUAGES = list(SPLITTERS.keys())
+
+
+@dataclass
+class TokenizerConfig:
+    """Mirrors DefaultTokenizerConfig (types.ts / tokenizer/index.ts:95-164).
+
+    Orama defaults: stemming OFF, stopwords OFF (empty list),
+    allow_duplicates False. The engine's "full" web profile enables
+    stemming + the 180-word English list (the profile Orama's own
+    dataset tests use, tests/dataset.test.ts:52-57).
+    """
+
+    language: str = "english"
+    stemming: bool = False
+    stopwords: frozenset[str] = frozenset()
+    allow_duplicates: bool = False
+    tokenize_skip_properties: frozenset[str] = frozenset()
+    stemmer_skip_properties: frozenset[str] = frozenset()
+
+    @staticmethod
+    def plain() -> "TokenizerConfig":
+        """Orama `create({schema})` default: no stemming, no stopwords."""
+        return TokenizerConfig()
+
+    @staticmethod
+    def full() -> "TokenizerConfig":
+        """Stemming + English stopwords (reference dataset-test profile)."""
+        return TokenizerConfig(stemming=True, stopwords=frozenset(STOPWORDS_EN))
+
+
+class Tokenizer:
+    """Callable tokenizer with a normalization memo (one per instance)."""
+
+    __slots__ = ("config", "_split", "_cache")
+
+    def __init__(self, config: TokenizerConfig | None = None):
+        self.config = config or TokenizerConfig()
+        if self.config.language not in SPLITTERS:
+            raise ValueError(f"LANGUAGE_NOT_SUPPORTED: {self.config.language}")
+        self._split = SPLITTERS[self.config.language]
+        self._cache: dict[tuple[str, str], str] = {}
+
+    def normalize_token(self, prop: str, token: str) -> str:
+        """Port of ``normalizeToken`` (tokenizer/index.ts:19-44).
+
+        Order matters: stopword check on the raw (lowered) token first,
+        then stemming, then diacritics folding.
+        """
+        key = (prop, token)
+        cached = self._cache.get(key)
+        if cached is not None:
+            return cached
+        cfg = self.config
+        if token in cfg.stopwords:
+            self._cache[key] = ""
+            return ""
+        if cfg.stemming and prop not in cfg.stemmer_skip_properties:
+            token = porter_stem(token)
+        token = replace_diacritics(token)
+        self._cache[key] = token
+        return token
+
+    def tokenize(self, text: str, prop: str = "") -> list[str]:
+        """Port of ``tokenize`` (tokenizer/index.ts:57-93)."""
+        if not isinstance(text, str):
+            return [text]
+        cfg = self.config
+        if prop and prop in cfg.tokenize_skip_properties:
+            tokens = [self.normalize_token(prop, text)]
+            # trim() (tokenizer/index.ts:47-55): strip leading/trailing ''
+            while tokens and tokens[-1] == "":
+                tokens.pop()
+            while tokens and tokens[0] == "":
+                tokens.pop(0)
+        else:
+            raw = self._split.split(text.lower())
+            tokens = []
+            for t in raw:
+                n = self.normalize_token(prop, t)
+                if n:
+                    tokens.append(n)
+        if not cfg.allow_duplicates:
+            return list(dict.fromkeys(tokens))
+        return tokens
+
+    __call__ = tokenize

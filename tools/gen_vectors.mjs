@@ -1,0 +1,153 @@
+// Golden-vector generator: executes the REFERENCE source (type-stripped)
+// in node and emits JSON vectors the Python kernel must match exactly.
+//
+// Reads: /root/reference/packages/orama/src/components/tokenizer/english-stemmer.ts
+//        /root/reference/packages/orama/src/components/tokenizer/diacritics.ts
+//        /root/reference/packages/orama/src/components/levenshtein.ts
+//        /root/reference/packages/stopwords/lib/en.js
+// Writes: tests/vectors/{stemmer,tokenizer,levenshtein}.json
+//
+// The tokenize() harness below mirrors tokenizer/index.ts:57-93 line by
+// line (lower -> split -> normalize(stopword, stem, diacritics) ->
+// filter -> trim -> dedupe).
+
+import { readFileSync, writeFileSync, mkdirSync } from 'node:fs'
+import { tmpdir } from 'node:os'
+import { join } from 'node:path'
+
+const REF = '/root/reference/packages/orama/src'
+
+function stripTypes(src) {
+  return src
+    .replace(/^import type .*$/gm, '')
+    .replace(/^import \{[^}]*\} from '\.\.\/\.\.\/types\.js'$/gm, '')
+    .replace(/export type \w+ = \{[\s\S]*?\}\n/g, '')
+    .replace(/: number\[\]\[\]/g, '')
+    .replace(/: number\[\]/g, '')
+    .replace(/: string\[\]/g, '')
+    .replace(/\(term: string, word: string, tolerance: number\)/g, '(term, word, tolerance)')
+    .replace(/\(term: string, w: string, tolerance: number\)/g, '(term, w, tolerance)')
+    .replace(/\(a: string, b: string\)/g, '(a, b)')
+    .replace(/\(charCode: number\)/g, '(charCode)')
+    .replace(/\(str: string\)/g, '(str)')
+    .replace(/: number(?![\w[])/g, '')
+    .replace(/: string(?![\w[])/g, '')
+    .replace(/: BoundedMetric/g, '')
+}
+
+async function loadRef(relPath, name) {
+  const src = stripTypes(readFileSync(join(REF, relPath), 'utf8'))
+  const f = join(tmpdir(), name + '.mjs')
+  writeFileSync(f, src)
+  return import(f)
+}
+
+const { stemmer } = await loadRef('components/tokenizer/english-stemmer.ts', 'english-stemmer')
+const { replaceDiacritics } = await loadRef('components/tokenizer/diacritics.ts', 'diacritics')
+const { syncBoundedLevenshtein } = await loadRef('components/levenshtein.ts', 'levenshtein')
+const { stopwords } = await import('/root/reference/packages/stopwords/lib/en.js')
+
+// ---- mirror of createTokenizer/tokenize for language=english ----------
+const SPLIT_EN = /[^A-Za-zàèéìòóù0-9_'-]+/gim
+
+function tokenizeRef(input, { stemming = false, stopWords = [] } = {}) {
+  const stopSet = stopWords
+  const normalize = (token) => {
+    if (stopSet.includes(token)) return ''
+    let t = token
+    if (stemming) t = stemmer(t)
+    return replaceDiacritics(t)
+  }
+  let tokens = input
+    .toLowerCase()
+    .split(SPLIT_EN)
+    .map(normalize)
+    .filter(Boolean)
+  while (tokens[tokens.length - 1] === '') tokens.pop()
+  while (tokens[0] === '') tokens.shift()
+  return Array.from(new Set(tokens))
+}
+
+// ---- vectors -----------------------------------------------------------
+mkdirSync('/root/repo/tests/vectors', { recursive: true })
+
+// stemmer vectors: cover every rule branch + the step-4 -ion quirk
+const stemWords = [
+  'caresses', 'ponies', 'ties', 'caress', 'cats', 'feed', 'agreed',
+  'plastered', 'bled', 'motoring', 'sing', 'conflated', 'troubled',
+  'sized', 'hopping', 'tanned', 'falling', 'hissing', 'fizzed', 'failing',
+  'filing', 'happy', 'sky', 'relational', 'conditional', 'rational',
+  'valenci', 'hesitanci', 'digitizer', 'conformabli', 'radicalli',
+  'differentli', 'vileli', 'analogousli', 'vietnamization', 'predication',
+  'operator', 'feudalism', 'decisiveness', 'hopefulness', 'callousness',
+  'formaliti', 'sensitiviti', 'sensibiliti', 'triplicate', 'formative',
+  'formalize', 'electriciti', 'electrical', 'hopeful', 'goodness',
+  'revival', 'allowance', 'inference', 'airliner', 'gyroscopic',
+  'adjustable', 'defensible', 'irritant', 'replacement', 'adjustment',
+  'dependent', 'adoption', 'communication', 'activation', 'homologou',
+  'communism', 'activate', 'angulariti', 'homologous', 'effective',
+  'bowdlerize', 'probate', 'rate', 'cease', 'controll', 'roll',
+  'searching', 'searched', 'jumps', 'jumped', 'jumping', 'quickly',
+  'lazy', 'dogs', 'foxes', 'running', 'ran', 'beautiful', 'tension',
+  'decision', 'provision', 'division', 'yellow', 'young', 'yearly',
+  'ying', 'by', 'a', 'an', 'is', 'the', 'engineer', 'engineering',
+  'database', 'databases', 'indexes', 'indices', 'queries', 'querying',
+  'distributed', 'distribution', 'partitioning', 'partitions',
+  'shuffled', 'shuffles', 'aggregation', 'vectorization', 'national',
+  'generalization', 'optimization', 'tokenizer', 'stemming',
+]
+const stemVectors = stemWords.map((w) => [w, stemmer(w)])
+writeFileSync('/root/repo/tests/vectors/stemmer.json', JSON.stringify(stemVectors, null, 1))
+
+// tokenizer vectors: both profiles over tricky strings
+const texts = [
+  'The quick brown fox jumps over the lazy dog',
+  "I'm a self-driving car, and I don't stop!",
+  'Hello, World! Hello again... hello HELLO',
+  'café crème brûlée — naïve façade señor',
+  'àèéìòóù ÀÈÉÌÒÓÙ',
+  'foo_bar baz-qux 123 4x4 a1b2',
+  '   leading and trailing   ',
+  '',
+  '!!!',
+  "rock'n'roll don't-stop_now",
+  'Tension and decisions in the provisional division',
+  'databases indexes queries partitions distributed aggregation',
+  'ÿŷźżž œŒ ß æÆ øØ þÞ ðÐ',
+  'a-b-c a_b_c a.b.c a,b,c',
+  'running runner runs ran',
+  'The THE the tHe',
+  'internationalization localization i18n l10n',
+]
+const tokVectors = []
+for (const text of texts) {
+  tokVectors.push({ text, profile: 'plain', tokens: tokenizeRef(text) })
+  tokVectors.push({
+    text,
+    profile: 'full',
+    tokens: tokenizeRef(text, { stemming: true, stopWords: stopwords }),
+  })
+}
+writeFileSync('/root/repo/tests/vectors/tokenizer.json', JSON.stringify(tokVectors, null, 1))
+
+// levenshtein vectors: prefix special cases + DP + early-exit edges
+const levCases = []
+const pairs = [
+  ['fox', 'fox', 0], ['fox', 'fox', 1], ['fx', 'fox', 1], ['fx', 'fox', 0],
+  ['dg', 'dog', 2], ['dg', 'dog', 1], ['fox', 'f', 1], ['fox', 'f', 2],
+  ['f', 'fox', 0], ['f', 'fox', 1], ['fo', 'fox', 0], ['fo', 'fox', 5],
+  ['fox', 'box', 1], ['fox', 'box', 0], ['abc', 'xyz', 2], ['abc', 'xyz', 3],
+  ['', 'abc', 2], ['', 'abc', 3], ['abc', '', 2], ['abc', '', 3],
+  ['kitten', 'sitting', 3], ['kitten', 'sitting', 2],
+  ['saturday', 'sunday', 3], ['saturday', 'sunday', 2],
+  ['search', 'searching', 0], ['searching', 'search', 3], ['searching', 'search', 2],
+  ['word', 'wrd', 1], ['word', 'wort', 1], ['word', 'word', -1],
+  ['prefix', 'pre', 3], ['pre', 'prefix', 0], ['ab', 'ba', 1], ['ab', 'ba', 2],
+]
+for (const [t, w, tol] of pairs) {
+  const r = syncBoundedLevenshtein(t, w, tol)
+  levCases.push({ term: t, word: w, tolerance: tol, distance: r.distance, isBounded: r.isBounded })
+}
+writeFileSync('/root/repo/tests/vectors/levenshtein.json', JSON.stringify(levCases, null, 1))
+
+console.log('vectors written:', stemVectors.length, 'stem,', tokVectors.length, 'tok,', levCases.length, 'lev')
