@@ -1,0 +1,254 @@
+"""Distributed inverted-index builder (the Spark rewrite of Orama insert).
+
+Reference semantics being reproduced (see SURVEY.md §2.3, §7-M2):
+  * field_len  = len(token list)  — with the default deduplicating
+    tokenizer this is the count of UNIQUE tokens (index.ts:79-91)
+  * tf         = occurrences / len(token list) — 1/field_len under
+    dedup (index.ts:93-111)
+  * df         = per-(field, term) number of (doc, token) inserts
+    (index.ts:113-118)
+  * avg_field_length = running mean over the GLOBAL doc count at each
+    insert (index.ts:88) — equals the plain mean when every doc has the
+    field (the telescoped recurrence), which is the fast path; the
+    order-dependent general case is reproduced exactly for dense docids
+
+Scale design (the part Catalyst doesn't give us):
+  * one tokenize pass (Arrow UDF) -> explode -> postings carry
+    (tf, field_len) denormalized, so the query path needs NO join with
+    docmeta — it joins only the tiny query-term expansion.
+  * dictionary df via groupBy(field, term).count(): partial (map-side)
+    aggregation makes Zipf skew a non-issue for counts.
+  * postings are written repartitionByRange(field, term) +
+    sortWithinPartitions(field, term, docid): range partitioning SAMPLES
+    the key distribution, so a hot term ('the' at 10^12 docs) simply
+    spans several contiguous partitions instead of exploding one reducer
+    — nothing ever collect_list()s an unsalted hot key. Sorted layout
+    gives parquet min/max row-group pruning for term IN-list lookups.
+  * every stage is checkpoint-resumable via BuildManifest.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import IndexConfig
+from .manifest import BuildManifest
+from .tokenize import tokens_udf
+
+
+def _config_fingerprint(config: IndexConfig, extra: str = "") -> str:
+    cfg = json.dumps(
+        {
+            "schema": config.schema,
+            "language": config.tokenizer.language,
+            "stemming": config.tokenizer.stemming,
+            "stopwords": sorted(config.tokenizer.stopwords),
+            "allow_duplicates": config.tokenizer.allow_duplicates,
+            "extra": extra,
+        },
+        sort_keys=True,
+    )
+    return hashlib.sha256(cfg.encode()).hexdigest()[:16]
+
+
+class IndexBuilder:
+    def __init__(self, config: IndexConfig, postings_partitions: int | None = None):
+        config.validate()
+        self.config = config
+        self.postings_partitions = postings_partitions
+
+    # -------------------------------------------------------------- build
+    def build(self, df: DataFrame, out_dir: str, input_id: str = "") -> dict:
+        """Build the index tables under ``out_dir``.
+
+        ``df`` must contain ``config.docid_col`` (int64, unique; ranking
+        ties break on it ascending, mirroring Orama's internal-ID order,
+        utils.ts:184-190) plus every schema property as a column.
+        """
+        cfg = self.config
+        docid = cfg.docid_col
+        spark = df.sparkSession
+        fp = _config_fingerprint(cfg, extra=input_id)
+        manifest = BuildManifest.load(out_dir)
+
+        for f_ in cfg.searchable_fields:
+            if cfg.schema[f_] == "string[]":
+                raise NotImplementedError(
+                    "string[] searchable fields: per-element insert quirk "
+                    "(index.ts:383-405) not yet replicated distributedly"
+                )
+
+        n_part = self.postings_partitions or max(
+            spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions()
+        )
+
+        # --- stage: docs (the document store, late-materialized at query)
+        docs_path = os.path.join(out_dir, "docs")
+
+        def _docs():
+            (
+                df.repartitionByRange(max(n_part // 2, 1), docid)
+                .sortWithinPartitions(docid)
+                .write.mode("overwrite")
+                .parquet(docs_path)
+            )
+            return {"path": docs_path}
+
+        manifest.run_stage("docs", fp, _docs)
+
+        # --- tokenized view (lazy; recomputed per consuming stage — at
+        # 100 TB a cache() of the tokenized corpus would spill for no win:
+        # each stage pipelines the tokenize into its own shuffle write)
+        tok_cols = [
+            tokens_udf(cfg.tokenizer, f_)(F.col(f_).cast("string")).alias(f"__tok_{f_}")
+            for f_ in cfg.searchable_fields
+        ]
+        tokenized = df.select(docid, *tok_cols)
+
+        # --- stage: postings (+ docmeta) per field, one union
+        postings_path = os.path.join(out_dir, "postings")
+        docmeta_path = os.path.join(out_dir, "docmeta")
+
+        def _field_postings(f_: str) -> DataFrame:
+            t = tokenized.select(
+                F.col(docid).alias("docid"),
+                F.col(f"__tok_{f_}").alias("toks"),
+            ).where(F.col("toks").isNotNull())
+            base = t.select(
+                "docid",
+                F.size("toks").alias("field_len"),
+                F.explode("toks").alias("term"),
+            )
+            if self.config.tokenizer.allow_duplicates:
+                base = base.groupBy("docid", "field_len", "term").agg(
+                    F.count("*").alias("occ")
+                )
+                tf = F.col("occ") / F.col("field_len")
+            else:
+                tf = F.lit(1.0) / F.col("field_len")
+            return base.select(
+                F.lit(f_).alias("field"),
+                "term",
+                "docid",
+                tf.cast("double").alias("tf"),
+                F.col("field_len").cast("int").alias("field_len"),
+            )
+
+        def _postings():
+            parts = [_field_postings(f_) for f_ in cfg.searchable_fields]
+            all_postings = parts[0]
+            for p in parts[1:]:
+                all_postings = all_postings.unionByName(p)
+            (
+                all_postings.repartitionByRange(n_part, "field", "term")
+                .sortWithinPartitions("field", "term", "docid")
+                .write.mode("overwrite")
+                .parquet(postings_path)
+            )
+            return {"path": postings_path}
+
+        manifest.run_stage("postings", fp, _postings)
+
+        def _docmeta():
+            metas = [
+                tokenized.select(
+                    F.col(docid).alias("docid"),
+                    F.lit(f_).alias("field"),
+                    F.size(f"__tok_{f_}").alias("field_len"),
+                ).where(F.col(f"__tok_{f_}").isNotNull())
+                for f_ in cfg.searchable_fields
+            ]
+            dm = metas[0]
+            for m in metas[1:]:
+                dm = dm.unionByName(m)
+            (
+                dm.repartitionByRange(max(n_part // 4, 1), "docid")
+                .sortWithinPartitions("docid")
+                .write.mode("overwrite")
+                .parquet(docmeta_path)
+            )
+            return {"path": docmeta_path}
+
+        manifest.run_stage("docmeta", fp, _docmeta)
+
+        # --- stage: dictionary (term df per field)
+        dict_path = os.path.join(out_dir, "dictionary")
+
+        def _dictionary():
+            (
+                spark.read.parquet(postings_path)
+                .groupBy("field", "term")
+                .agg(F.count("*").alias("df"))
+                .repartitionByRange(max(n_part // 8, 1), "field", "term")
+                .sortWithinPartitions("field", "term")
+                .write.mode("overwrite")
+                .parquet(dict_path)
+            )
+            return {"path": dict_path}
+
+        manifest.run_stage("dictionary", fp, _dictionary)
+
+        # --- stage: stats (global doc count + per-field avg field length)
+        stats_path = os.path.join(out_dir, "stats.json")
+
+        def _stats():
+            docs_count = spark.read.parquet(docs_path).count()
+            dm = spark.read.parquet(docmeta_path)
+            per_field = {
+                r["field"]: {"n": r["n"], "mean": r["mean"]}
+                for r in dm.groupBy("field")
+                .agg(F.count("*").alias("n"), F.avg("field_len").alias("mean"))
+                .collect()
+            }
+            fields = {}
+            for f_ in self.config.searchable_fields:
+                info = per_field.get(f_, {"n": 0, "mean": 0.0})
+                if info["n"] == docs_count or info["n"] == 0:
+                    # telescoped running mean == plain mean (index.ts:88)
+                    avg = float(info["mean"] or 0.0)
+                else:
+                    avg = self._exact_avg_field_length(dm, f_, docs_count)
+                fields[f_] = {
+                    "avg_field_length": avg,
+                    "docs_with_field": int(info["n"]),
+                }
+            stats = {"docs_count": int(docs_count), "fields": fields}
+            with open(stats_path, "w") as fh:
+                json.dump(stats, fh, indent=1)
+            return {"path": stats_path, "docs_count": int(docs_count)}
+
+        manifest.run_stage("stats", fp, _stats)
+        manifest.save()
+        return manifest.entries
+
+    @staticmethod
+    def _exact_avg_field_length(docmeta: DataFrame, field: str, docs_count: int) -> float:
+        """Order-dependent running mean (index.ts:88) for fields missing
+        on some docs. Requires dense docids 0..N-1 (insert position
+        c = docid+1). A_M = sum_m (len_m/c_m) * prod_{k>m} (c_k-1)/c_k,
+        computed with log-space suffix sums.
+
+        Rare path (most corpora have every field on every doc); uses a
+        single-partition window, documented trade-off.
+        """
+        from pyspark.sql import Window
+
+        rows = (
+            docmeta.where(F.col("field") == field)
+            .select(
+                (F.col("docid") + 1).cast("double").alias("c"),
+                F.col("field_len").cast("double").alias("len"),
+            )
+        )
+        w = Window.orderBy(F.desc("c")).rowsBetween(Window.unboundedPreceding, -1)
+        out = (
+            rows.withColumn("lp", F.log(F.col("c") - 1) - F.log(F.col("c")))
+            .withColumn("suffix", F.coalesce(F.sum("lp").over(w), F.lit(0.0)))
+            .select(F.sum(F.col("len") / F.col("c") * F.exp(F.col("suffix"))).alias("avg"))
+            .collect()
+        )
+        return float(out[0]["avg"] or 0.0)

@@ -1,0 +1,488 @@
+"""Distributed BM25 full-text query engine (the Spark rewrite of
+Orama's search path).
+
+Reference flow being reproduced (methods/search-fulltext.ts:23-252 +
+components/index.ts:457-592):
+
+    tokenize query -> expand each token against the term dictionary
+    (exact / prefix / fuzzy) -> score every (doc, matched word) with
+    BM25 -> sum per doc across properties and words (boost applied per
+    property) -> threshold semantics -> optional exact post-filter ->
+    order by (score DESC, docid ASC) -> paginate; facets/groups run
+    over the full pre-pagination match set.
+
+Physical plan (what makes this hold at 10^12 docs):
+  * the dictionary scan is pruned: it is stored sorted by (field, term),
+    so exact/prefix lookups hit few parquet row-groups; fuzzy expansion
+    scans a length-banded slice refined by an Arrow-vectorized bounded
+    Levenshtein.
+  * small expansions (the normal case: a handful of query tokens, each
+    expanding to < ~50k words) are collected and re-joined as a
+    BROADCAST table, plus a literal term IN-list pre-filter on postings
+    so the parquet scan prunes row-groups by the sorted term column —
+    postings never shuffle for a query.
+  * scoring is pure JVM expression code (whole-stage codegen): BM25 is
+    log/arithmetic on (tf, field_len) columns already denormalized into
+    postings, with df/avg_field_length/docs_count joined from the tiny
+    expansion or inlined as literals. No Python in the per-posting path.
+  * top-k uses orderBy().limit() = TakeOrdered (per-partition heaps +
+    driver merge), never a global sort.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import BooleanType
+
+from ..config import IndexConfig
+from ..kernel.levenshtein import bounded_levenshtein_batch
+from ..kernel.tokenizer import Tokenizer
+from .filters import WhereCompiler
+
+# Collect-to-driver cap for term expansions; larger expansions stay
+# distributed (plain join instead of broadcast + IN-list pushdown).
+EXPANSION_COLLECT_CAP = 50_000
+
+
+def _escape_java_regex(s: str) -> str:
+    """Port of escapeRegex (search-fulltext.ts:139-141)."""
+    return re.sub(r"[.*+?^${}()|\[\]\\]", lambda m: "\\" + m.group(0), s)
+
+
+@dataclass
+class SearchResult:
+    """Lazy result: ``scored`` is the full pre-pagination match set
+    (docid, score); hits/facets/groups derive from it."""
+
+    index: "SearchIndex"
+    scored: DataFrame
+    offset: int = 0
+    limit: int = 10
+
+    def count(self) -> int:
+        return self.scored.count()
+
+    def top_df(self) -> DataFrame:
+        """(docid, score) page in rank order (score DESC, docid ASC)."""
+        top = self.scored.orderBy(F.desc("score"), F.asc("docid")).limit(
+            self.offset + self.limit
+        )
+        if self.offset == 0:
+            return top
+        w = Window.orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            top.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") > self.offset)
+            .drop("__rn")
+        )
+
+    def hits_df(self) -> DataFrame:
+        """Page joined with full documents (late materialization:
+        only offset+limit docs are ever fetched, search.ts:129-131)."""
+        docs = self.index.docs
+        docid = self.index.config.docid_col
+        return (
+            self.top_df()
+            .join(docs.withColumnRenamed(docid, "docid"), "docid")
+            .orderBy(F.desc("score"), F.asc("docid"))
+        )
+
+    def hits(self) -> list[dict]:
+        return [r.asDict(recursive=True) for r in self.hits_df().collect()]
+
+
+class SearchIndex:
+    """A loaded index: docs + postings + dictionary + stats."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: IndexConfig,
+        docs: DataFrame,
+        postings: DataFrame,
+        dictionary: DataFrame,
+        stats: dict,
+    ):
+        self.spark = spark
+        self.config = config
+        self.docs = docs
+        self.postings = postings
+        self.dictionary = dictionary
+        self.stats = stats
+        self.tokenizer = Tokenizer(config.tokenizer)
+        self._where = WhereCompiler(
+            config,
+            docs,
+            postings.select("field", "term", "docid"),
+            self.tokenizer,
+        )
+
+    # ---------------------------------------------------------------- io
+    @classmethod
+    def load(cls, spark: SparkSession, index_dir: str, config: IndexConfig) -> "SearchIndex":
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            stats = json.load(f)
+        return cls(
+            spark,
+            config,
+            docs=spark.read.parquet(os.path.join(index_dir, "docs")),
+            postings=spark.read.parquet(os.path.join(index_dir, "postings")),
+            dictionary=spark.read.parquet(os.path.join(index_dir, "dictionary")),
+            stats=stats,
+        )
+
+    # -------------------------------------------------------- expansion
+    def _expansion(
+        self,
+        tokens: list[str],
+        props: list[str],
+        exact: bool,
+        tolerance: int,
+    ) -> tuple[DataFrame, Optional[list], set[str]]:
+        """Match query tokens to dictionary words.
+
+        Returns (expansion_df[field,qtoken,term,df], collected_rows or
+        None, tokens_found). Exact/prefix/fuzzy semantics per
+        trees/radix.ts:240-303 and find_words in the oracle."""
+        d = self.dictionary
+        parts = []
+        for tok in tokens:
+            base = d.where(F.col("field").isin(props))
+            if tok == "" and not exact:
+                cond = F.lit(True)  # empty token matches the whole trie
+            elif exact or tolerance == 0 and exact:
+                cond = F.col("term") == tok
+            elif tolerance and not exact:
+                band = (F.length("term") >= F.lit(len(tok) - tolerance)) & (
+                    F.length("term") <= F.lit(len(tok) + tolerance)
+                )
+                cond = band | F.col("term").startswith(tok)
+            else:
+                cond = F.col("term").startswith(tok)
+            part = base.where(cond).select(
+                "field", F.lit(tok).alias("qtoken"), "term", "df"
+            )
+            if tolerance and not exact and tok != "":
+                part = part.where(_fuzzy_udf(tok, tolerance)(F.col("term")))
+            parts.append(part)
+        exp = parts[0]
+        for p in parts[1:]:
+            exp = exp.unionByName(p)
+
+        if any(t == "" for t in tokens):
+            # whole-dictionary expansion: never collect
+            found = {t: True for t in tokens}
+            return exp, None, set(found)
+
+        rows = exp.limit(EXPANSION_COLLECT_CAP + 1).collect()
+        if len(rows) > EXPANSION_COLLECT_CAP:
+            found_rows = exp.select("qtoken").distinct().collect()
+            return exp, None, {r["qtoken"] for r in found_rows}
+        return exp, rows, {r["qtoken"] for r in rows}
+
+    # ------------------------------------------------------------ search
+    def search(
+        self,
+        term: Optional[str] = None,
+        properties: Optional[list[str]] = None,
+        exact: bool = False,
+        tolerance: int = 0,
+        boost: Optional[dict[str, float]] = None,
+        threshold: float = 1.0,
+        where: Optional[dict] = None,
+        limit: int = 10,
+        offset: int = 0,
+    ) -> SearchResult:
+        cfg = self.config
+        docid = cfg.docid_col
+        searchable = cfg.searchable_fields
+        props = searchable
+        if properties is not None:
+            for p in properties:
+                if p not in searchable:
+                    raise ValueError(f"UNKNOWN_INDEX: {p}")
+            props = [p for p in searchable if p in properties]
+        boost = boost or {}
+        for b in boost.values():
+            if b <= 0:
+                raise ValueError(f"INVALID_BOOST_VALUE: {b}")
+
+        where_ids: Optional[DataFrame] = None
+        if where:
+            where_ids = self._where.docids(where)
+
+        if term or properties is not None:
+            scored = self._scored(
+                term or "", props, exact, tolerance, boost, threshold, where_ids
+            )
+            if exact and term:
+                scored = self._exact_post_filter(scored, term, props)
+        else:
+            if where is not None and where != {}:
+                scored = (where_ids or self._empty_ids()).select(
+                    "docid", F.lit(0.0).alias("score")
+                )
+            else:
+                scored = self.docs.select(
+                    F.col(docid).alias("docid"), F.lit(0.0).alias("score")
+                )
+        return SearchResult(self, scored, offset=offset, limit=limit)
+
+    def _empty_ids(self) -> DataFrame:
+        return self.docs.select(
+            F.col(self.config.docid_col).alias("docid")
+        ).where(F.lit(False))
+
+    def _scored(
+        self,
+        term: str,
+        props: list[str],
+        exact: bool,
+        tolerance: int,
+        boost: dict[str, float],
+        threshold: float,
+        where_ids: Optional[DataFrame],
+    ) -> DataFrame:
+        """Port of index.search (components/index.ts:457-592) as a plan."""
+        cfg = self.config
+        tokens = self.tokenizer.tokenize(term)
+        keywords_count = len(tokens) or 1
+        if not tokens:
+            if term:
+                return self._empty_scored()
+            tokens = [""]
+
+        exp, rows, tokens_found = self._expansion(tokens, props, exact, tolerance)
+        if rows is not None and not rows:
+            return self._empty_scored()
+        # threshold=0 multi-token early exit: every token must match
+        # somewhere (components/index.ts:554-560)
+        if threshold == 0 and keywords_count > 1:
+            if any(t not in tokens_found for t in tokens):
+                return self._empty_scored()
+
+        p = self.postings.where(F.col("field").isin(props))
+        if rows is not None:
+            terms_literal = list({r["term"] for r in rows})
+            # literal IN-list -> parquet row-group pruning on sorted term
+            p = p.where(F.col("term").isin(terms_literal))
+            exp_df = self.spark.createDataFrame(
+                [(r["field"], r["qtoken"], r["term"], r["df"]) for r in rows],
+                schema="field string, qtoken string, term string, df long",
+            )
+            joined = p.join(F.broadcast(exp_df), ["field", "term"])
+        else:
+            joined = p.join(exp, ["field", "term"])
+
+        score_row = self._bm25_col(props, boost)
+        per_field = (
+            joined.select("docid", "field", score_row.alias("s"))
+            .groupBy("docid", "field")
+            .agg(F.sum("s").alias("s"), F.count("*").alias("m"))
+        )
+        scored = per_field.groupBy("docid").agg(
+            F.sum("s").alias("score"),
+            F.max(F.when(F.col("m") == keywords_count, 1).otherwise(0)).alias("__full"),
+        )
+        if where_ids is not None:
+            scored = scored.join(where_ids, "docid", "left_semi")
+
+        if threshold == 1:
+            return scored.select("docid", "score")
+        if threshold == 0:
+            if keywords_count == 1:
+                return scored.select("docid", "score")
+            return scored.where(F.col("__full") == 1).select("docid", "score")
+        # fractional threshold (components/index.ts:574-591): all full
+        # matches + ceil(|partial| * t) of the best partials
+        scored = scored.persist()
+        full = scored.where(F.col("__full") == 1)
+        n_full = full.count()
+        if n_full == 0:
+            return scored.select("docid", "score")
+        partial = scored.where(F.col("__full") != 1)
+        n_partial = partial.count()
+        take = math.ceil(n_partial * threshold)
+        top_partial = partial.orderBy(F.desc("score"), F.asc("docid")).limit(take)
+        return full.select("docid", "score").unionByName(
+            top_partial.select("docid", "score")
+        )
+
+    def _empty_scored(self) -> DataFrame:
+        return self._empty_ids().select("docid", F.lit(0.0).alias("score"))
+
+    def _bm25_col(self, props: list[str], boost: dict[str, float]) -> Column:
+        """BM25 (algorithms.ts:116-126) as a codegen-able expression over
+        posting columns (tf, field_len) + expansion df + broadcast stats."""
+        bm = self.config.bm25
+        n_docs = float(self.stats["docs_count"])
+        avg_expr: Column = F.lit(0.0)
+        boost_expr: Column = F.lit(1.0)
+        for f_ in props:
+            avg = float(self.stats["fields"][f_]["avg_field_length"])
+            avg_expr = F.when(F.col("field") == f_, F.lit(avg)).otherwise(avg_expr)
+            if f_ in boost:
+                boost_expr = F.when(F.col("field") == f_, F.lit(float(boost[f_]))).otherwise(boost_expr)
+        idf = F.log1p(
+            (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        num = idf * (F.lit(bm.d) + F.col("tf") * F.lit(bm.k + 1.0))
+        den = F.col("tf") + F.lit(bm.k) * (
+            F.lit(1.0 - bm.b) + F.lit(bm.b) * F.col("field_len") / avg_expr
+        )
+        return (num / den * boost_expr).alias("s")
+
+    def _exact_post_filter(
+        self, scored: DataFrame, term: str, props: list[str]
+    ) -> DataFrame:
+        """Case-sensitive whole-word post-filter over original text
+        (methods/search-fulltext.ts:88-115)."""
+        docid = self.config.docid_col
+        search_terms = term.strip().split()
+        per_prop = []
+        for prop in props:
+            cond = F.lit(True)
+            for t in search_terms:
+                pat = r"\b" + _escape_java_regex(t) + r"\b"
+                cond = cond & F.col(prop).cast("string").rlike(pat)
+            per_prop.append(F.col(prop).isNotNull() & cond)
+        any_prop = per_prop[0]
+        for c in per_prop[1:]:
+            any_prop = any_prop | c
+        keep = self.docs.where(any_prop).select(F.col(docid).alias("docid"))
+        return scored.join(keep, "docid", "left_semi")
+
+    # ------------------------------------------------------------ facets
+    def facets_df(self, result: SearchResult, prop: str, config: Optional[dict] = None) -> DataFrame:
+        """String/enum/bool facet counts over the FULL match set
+        (components/facets.ts:28-174). Returns (facet_value, facet_count)
+        ordered per the reference (count desc default, limit 10), with
+        value ASC as the deterministic tie-break."""
+        cfg = config or {}
+        typ = self.config.schema[prop]
+        docid = self.config.docid_col
+        m = result.scored.join(
+            self.docs.withColumnRenamed(docid, "docid"), "docid"
+        )
+        if typ in ("number", "number[]"):
+            aggs = []
+            for r in cfg.get("ranges", []):
+                key = f"{r['from']}-{r['to']}"
+                val = F.col(prop)
+                if typ == "number[]":
+                    inr = F.exists(val, lambda x: (x >= r["from"]) & (x <= r["to"]))
+                else:
+                    inr = (val >= r["from"]) & (val <= r["to"])
+                aggs.append(
+                    F.sum(F.when(inr, 1).otherwise(0)).cast("long").alias(key)
+                )
+            wide = m.agg(*aggs)
+            stack = ", ".join(f"'{c}', `{c}`" for c in wide.columns)
+            return wide.selectExpr(
+                f"stack({len(wide.columns)}, {stack}) as (facet_value, facet_count)"
+            )
+        vals = m.select(
+            F.explode(F.array_distinct(F.col(prop))).alias("facet_value")
+            if typ.endswith("[]")
+            else F.col(prop).alias("facet_value")
+        ).where(F.col("facet_value").isNotNull())
+        counts = vals.groupBy("facet_value").agg(F.count("*").alias("facet_count"))
+        if typ == "string":
+            order = str(cfg.get("sort", "desc")).lower()
+            direction = F.asc("facet_count") if order == "asc" else F.desc("facet_count")
+            lo = cfg.get("offset", 0)
+            hi = cfg.get("limit", 10)
+            w = Window.orderBy(direction, F.asc("facet_value"))
+            counts = (
+                counts.withColumn("__rn", F.row_number().over(w))
+                .where((F.col("__rn") > lo) & (F.col("__rn") <= hi))
+                .drop("__rn")
+            )
+        return counts
+
+    # ------------------------------------------------------------ groups
+    def groups_df(
+        self, result: SearchResult, properties: list[str], max_result: Optional[int] = None
+    ) -> DataFrame:
+        """groupBy (components/groups.ts:46-175): per distinct value
+        combination, the top-``max_result`` docs in rank order.
+
+        Exact parity for a single property, or for multiple properties
+        without max_result (the reference caps per-property BEFORE the
+        combination intersection — with one property or no cap the two
+        formulations coincide)."""
+        if max_result is not None and len(properties) > 1:
+            raise NotImplementedError(
+                "maxResult with multiple group properties: the reference "
+                "caps per property pre-intersection (groups.ts:100-103); "
+                "not replicated distributedly"
+            )
+        docid = self.config.docid_col
+        m = result.scored.join(
+            self.docs.withColumnRenamed(docid, "docid"), "docid"
+        )
+        for p in properties:
+            m = m.where(F.col(p).isNotNull())
+        w = Window.partitionBy(*properties).orderBy(F.desc("score"), F.asc("docid"))
+        out = m.withColumn("group_rank", F.row_number().over(w))
+        if max_result is not None:
+            out = out.where(F.col("group_rank") <= max_result)
+        return out.select(*properties, "docid", "score", "group_rank")
+
+    # -------------------------------------------------------- distinct_on
+    def distinct_df(self, result: SearchResult, prop: str, offset: int = 0, limit: int = 10) -> DataFrame:
+        """distinctOn (methods/search.ts:43-99): first (best-ranked) doc
+        per distinct value, paginated over the distinct stream."""
+        docid = self.config.docid_col
+        m = result.scored.join(
+            self.docs.withColumnRenamed(docid, "docid"), "docid"
+        ).where(F.col(prop).isNotNull())
+        w = Window.partitionBy(prop).orderBy(F.desc("score"), F.asc("docid"))
+        firsts = m.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+        wg = Window.orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            firsts.withColumn("__gn", F.row_number().over(wg))
+            .where((F.col("__gn") > offset) & (F.col("__gn") <= offset + limit))
+            .drop("__rn", "__gn")
+        )
+
+    # ------------------------------------------------------------ sort_by
+    def sorted_hits_df(
+        self, result: SearchResult, prop: str, order: str = "ASC",
+        offset: int = 0, limit: int = 10,
+    ) -> DataFrame:
+        """sortBy property (components/sorter.ts:239-283): docs lacking
+        the property go last regardless of direction."""
+        docid = self.config.docid_col
+        m = result.scored.join(
+            self.docs.withColumnRenamed(docid, "docid"), "docid"
+        )
+        desc = str(order).upper() == "DESC"
+        keys = [F.col(prop).isNull().asc()]
+        if desc:
+            keys += [F.col(prop).desc(), F.col("docid").desc()]
+        else:
+            keys += [F.col(prop).asc(), F.col("docid").asc()]
+        w = Window.orderBy(*keys)
+        return (
+            m.withColumn("__rn", F.row_number().over(w))
+            .where((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
+            .drop("__rn")
+        )
+
+
+def _fuzzy_udf(token: str, tolerance: int):
+    @F.pandas_udf(BooleanType())
+    def _ok(terms: pd.Series) -> pd.Series:
+        arr = terms.to_numpy(dtype=object)
+        return pd.Series(bounded_levenshtein_batch(token, arr, tolerance))
+
+    return _ok
