@@ -1,38 +1,418 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 top-k over the sf0.001 documents table.
+``queries()``   — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()``— DuckDB-equivalent ANSI SQL per query.
+
+The full-text queries here use the engine's *plain* tokenizer profile
+(Orama `create({schema})` default: no stemming, no stopwords,
+tokenizer/index.ts:102-124) so the DuckDB oracle can reproduce
+tokenization in pure SQL; the stemming+stopword "full" profile is
+exercised by the pytest oracle-parity suite (tests/test_engine_parity.py)
+where the Python oracle replaces SQL.
+
+Scores are rounded to 6 decimals on both sides: Spark and DuckDB both
+compute IEEE-754 doubles with the same formula (plain ln(1+x)); rounding
+absorbs summation-order ulps.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from orama_spark.build.indexer import IndexBuilder
+from orama_spark.config import IndexConfig
+from orama_spark.kernel.tokenizer import Tokenizer, TokenizerConfig
+from orama_spark.query.engine import SearchIndex
+
+# ------------------------------------------------------------------ setup
+
+DOC_SCHEMA = {
+    "text": "string",
+    "lang": "enum",
+    "source": "enum",
+    "n_chars": "number",
+}
+DOC_CONFIG = IndexConfig(schema=DOC_SCHEMA, tokenizer=TokenizerConfig.plain())
+
+# Exact JS split regex (languages.ts:36) as a DuckDB RE2 class over
+# lowered text; '' escapes the quote inside the SQL literal.
+SQL_SPLIT = "[^a-zàèéìòóù0-9_''-]+"
+
+PREFIX_COND = "tok.term LIKE qt.qtoken || '%'"
+
+_INDEX_CACHE: dict[str, SearchIndex] = {}
+
+
+def _get_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    idx = _INDEX_CACHE.get(sf_dir)
+    if idx is not None:
+        return idx
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumnRenamed("doc_id", "docid")
+    )
+    out = os.path.join(
+        "/tmp/orama_spark_entry_idx", os.path.basename(os.path.normpath(sf_dir))
+    )
+    IndexBuilder(DOC_CONFIG).build(df, out, input_id=sf_dir)
+    idx = SearchIndex.load(spark, out, DOC_CONFIG)
+    _INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
+def _r(col: str = "score"):
+    return F.round(F.col(col), 6).alias(col)
+
+
+# Shared SQL CTE prologue: tokenize + BM25 stats over `documents`.
+def _sql_prologue() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+           regexp_split_to_array(lower(text), '{SQL_SPLIT}'), x -> x <> ''))) AS term
+  FROM documents
+),
+meta AS (SELECT doc_id, count(*) AS fl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT avg(fl) FROM meta) AS avgfl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tok GROUP BY term)
+"""
+
+
+def _sql_matches(match_cond: str, qtokens: list[str]) -> str:
+    vals = ", ".join(f"('{t}')" for t in qtokens)
+    return f""",
+qt(qtoken) AS (SELECT * FROM (VALUES {vals}) v(q)),
+matches AS (
+  SELECT tok.doc_id, tok.term, qt.qtoken
+  FROM tok JOIN qt ON {match_cond}
+),
+scored AS (
+  SELECT m.doc_id AS docid,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * (0.5 + (1.0/mt.fl) * 2.2)
+              / ((1.0/mt.fl) + 1.2 * (1 - 0.75 + 0.75 * mt.fl / s.avgfl)) ) AS score,
+         count(*) AS pairs
+  FROM matches m
+  JOIN meta mt ON mt.doc_id = m.doc_id
+  JOIN dfreq f ON f.term = m.term
+  CROSS JOIN stats s
+  GROUP BY m.doc_id
+)
+"""
+
+
+def _tokens(term: str) -> list[str]:
+    return Tokenizer(TokenizerConfig.plain()).tokenize(term)
+
+
+# ----------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for a multi-token OR query, hits joined with
+    their documents (late materialization)."""
+    idx = _get_index(spark, "/root/testdata/sf0.001")
+    sr = idx.search(term="spark merge stream", limit=10)
+    return sr.hits_df().select("docid", _r(), "text", "lang", "source")
+
+
+# --------------------------------------------------------------- queries
+
+def _q_topk(term, **kw):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = _get_index(spark, sf_dir)
+        sr = idx.search(term=term, limit=kw.pop("limit", 10), **kw)
+        return sr.top_df().select("docid", _r())
+    return run
+
+
+def _sql_topk(term: str, cond: str = "tok.term = qt.qtoken", limit: int = 10,
+              and_mode: bool = False, where_doc: str = "") -> str:
+    toks = _tokens(term)
+    conds = ["1=1"]
+    if and_mode and len(toks) > 1:
+        # per-doc: all keywords matched within the single searched
+        # property (index.ts:563-569); globally: every token found
+        # somewhere (index.ts:554-560)
+        conds.append(f"pairs = {len(toks)}")
+        conds.append(f"(SELECT count(DISTINCT qtoken) FROM matches) = {len(toks)}")
+    if where_doc:
+        conds.append(f"docid IN (SELECT doc_id FROM documents WHERE {where_doc})")
+    return (
+        _sql_prologue()
+        + _sql_matches(cond, toks)
+        + f"""
+SELECT docid, round(score, 6) AS score
+FROM scored
+WHERE {' AND '.join(conds)}
+ORDER BY scored.score DESC, docid ASC
+LIMIT {limit}
+"""
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- full-text core (SURVEY §2.4), default prefix semantics --
+    q["flt_single"] = _q_topk("spark")
+    q["flt_multi_or"] = _q_topk("spark merge stream")
+    q["flt_and"] = _q_topk("spark merge", threshold=0.0)
 
+    # prefix expansion (SURVEY §2.5, radix.ts:240-303)
+    q["flt_prefix"] = _q_topk("sca")
+
+    # fuzzy expansion (SURVEY §2.5, levenshtein.ts:10-96)
+    q["flt_fuzzy"] = _q_topk("sprk", tolerance=1)
+
+    # filters as semi-join masks (SURVEY §2.6)
+    def flt_filter(spark, sf_dir):
+        idx = _get_index(spark, sf_dir)
+        sr = idx.search(
+            term="spark",
+            where={"and": [{"lang": {"eq": "en"}}, {"n_chars": {"between": [100, 400]}}]},
+            limit=10,
+        )
+        return sr.top_df().select("docid", _r())
+    q["flt_filter"] = flt_filter
+
+    # filter-only query -> score 0 (search-fulltext.ts:124-127)
+    def flt_filter_only(spark, sf_dir):
+        idx = _get_index(spark, sf_dir)
+        sr = idx.search(where={"n_chars": {"gt": 450}}, limit=100000)
+        return sr.scored.select("docid", _r())
+    q["flt_filter_only"] = flt_filter_only
+
+    # no term, no filter -> all docs score 0 (search-fulltext.ts:128-132)
+    def flt_all(spark, sf_dir):
+        idx = _get_index(spark, sf_dir)
+        sr = idx.search()
+        return sr.scored.select("docid", _r())
+    q["flt_all_docs"] = flt_all
+
+    # preflight: count only (SURVEY §2.7)
+    def flt_count(spark, sf_dir):
+        idx = _get_index(spark, sf_dir)
+        sr = idx.search(term="merge")
+        return sr.scored.agg(F.count("*").alias("match_count"))
+    q["flt_count_preflight"] = flt_count
+
+    # facets (SURVEY §2.8)
+    def facet_lang(spark, sf_dir):
+        idx = _get_index(spark, sf_dir)
+        sr = idx.search(term="spark", limit=10)
+        return idx.facets_df(sr, "lang")
+    q["facet_lang"] = facet_lang
+
+    def facet_nchars(spark, sf_dir):
+        idx = _get_index(spark, sf_dir)
+        sr = idx.search(term="spark")
+        return idx.facets_df(
+            sr, "n_chars",
+            {"ranges": [{"from": 0, "to": 150}, {"from": 150, "to": 300}, {"from": 0, "to": 600}]},
+        )
+    q["facet_nchars"] = facet_nchars
+
+    # groupBy with per-group top-k (SURVEY §2.8, groups.ts:46-175)
+    def group_source(spark, sf_dir):
+        idx = _get_index(spark, sf_dir)
+        sr = idx.search(term="spark merge")
+        return idx.groups_df(sr, ["source"], max_result=2).select(
+            "source", "docid", _r(), "group_rank"
+        )
+    q["group_source"] = group_source
+
+    # distinctOn (SURVEY §2.7, search.ts:43-99)
+    def distinct_source(spark, sf_dir):
+        idx = _get_index(spark, sf_dir)
+        sr = idx.search(term="spark")
+        return idx.distinct_df(sr, "source", limit=10).select("docid", _r(), "source")
+    q["distinct_source"] = distinct_source
+
+    # sortBy property (SURVEY §2.7, sorter.ts:239-283)
+    def sort_nchars(spark, sf_dir):
+        idx = _get_index(spark, sf_dir)
+        sr = idx.search(term="spark")
+        return idx.sorted_hits_df(sr, "n_chars", "DESC", limit=10).select(
+            "docid", "n_chars", _r()
+        )
+    q["sort_nchars"] = sort_nchars
+
+    # vector search: brute-force cosine top-k baseline (SURVEY §2.9)
+    def vec_topk(spark, sf_dir):
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+        dot = F.aggregate(
+            F.zip_with("embedding", "qe", lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        na = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x))
+        nb = F.sqrt(F.aggregate("qe", F.lit(0.0), lambda a, x: a + x * x))
+        return (
+            emb.crossJoin(F.broadcast(qv))
+            .select("vec_id", F.round(dot / (na * nb), 6).alias("sim"))
+            .orderBy(F.desc("sim"), F.asc("vec_id"))
+            .limit(10)
+        )
+    q["vec_topk"] = vec_topk
+
+    # exact dedup (training-data pipeline op)
+    def dedup_exact(spark, sf_dir):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return (
+            docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+            .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("keep_doc_id"))
+            .where(F.col("dup_count") > 1)
+        )
+    q["dedup_exact"] = dedup_exact
+
+    # token counting (text-analysis op, shares the engine tokenizer)
+    def token_count(spark, sf_dir):
+        idx = _get_index(spark, sf_dir)
+        return idx.postings.groupBy("docid").agg(
+            F.count("*").alias("n_unique_tokens"),
+            F.max("field_len").cast("long").alias("field_len"),
+        )
+    q["token_count"] = token_count
+
+    # document fingerprint: md5 over the sorted unique token set
+    def doc_fingerprint(spark, sf_dir):
+        idx = _get_index(spark, sf_dir)
+        return idx.postings.groupBy("docid").agg(
+            F.md5(F.concat_ws(" ", F.array_sort(F.collect_set("term")))).alias("fingerprint")
+        )
+    q["doc_fingerprint"] = doc_fingerprint
+
+    return q
+
+
+# ------------------------------------------------------------ oracle SQL
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["flt_single"] = _sql_topk("spark", cond=PREFIX_COND)
+    sql["flt_multi_or"] = _sql_topk("spark merge stream", cond=PREFIX_COND)
+    sql["flt_and"] = _sql_topk("spark merge", cond=PREFIX_COND, and_mode=True)
+    sql["flt_prefix"] = _sql_topk("sca", cond="tok.term LIKE qt.qtoken || '%'")
+    # fuzzy: syncBoundedLevenshtein with prefix special cases
+    # (levenshtein.ts:26-36)
+    sql["flt_fuzzy"] = _sql_topk(
+        "sprk",
+        cond=(
+            "(tok.term LIKE qt.qtoken || '%'"
+            " OR (qt.qtoken LIKE tok.term || '%' AND length(qt.qtoken) - length(tok.term) <= 1)"
+            " OR (abs(length(tok.term) - length(qt.qtoken)) <= 1"
+            "     AND levenshtein(qt.qtoken, tok.term) <= 1))"
+        ),
+    )
+    sql["flt_filter"] = _sql_topk(
+        "spark",
+        cond=PREFIX_COND,
+        where_doc="lang = 'en' AND n_chars >= 100 AND n_chars <= 400",
+    )
+    sql["flt_filter_only"] = (
+        "SELECT doc_id AS docid, CAST(0.0 AS DOUBLE) AS score FROM documents WHERE n_chars > 450"
+    )
+    sql["flt_all_docs"] = "SELECT doc_id AS docid, CAST(0.0 AS DOUBLE) AS score FROM documents"
+    sql["flt_count_preflight"] = (
+        _sql_prologue()
+        + _sql_matches(PREFIX_COND, ["merge"])
+        + "SELECT count(*) AS match_count FROM scored"
+    )
+    sql["facet_lang"] = (
+        _sql_prologue()
+        + _sql_matches(PREFIX_COND, ["spark"])
+        + """
+SELECT d.lang AS facet_value, count(*) AS facet_count
+FROM scored s JOIN documents d ON d.doc_id = s.docid
+GROUP BY d.lang
+"""
+    )
+    sql["facet_nchars"] = (
+        _sql_prologue()
+        + _sql_matches(PREFIX_COND, ["spark"])
+        + """
+, m AS (SELECT d.n_chars FROM scored s JOIN documents d ON d.doc_id = s.docid)
+SELECT facet_value, facet_count FROM (
+  SELECT '0-150' AS facet_value, count(*) FILTER (WHERE n_chars BETWEEN 0 AND 150) AS facet_count FROM m
+  UNION ALL
+  SELECT '150-300', count(*) FILTER (WHERE n_chars BETWEEN 150 AND 300) FROM m
+  UNION ALL
+  SELECT '0-600', count(*) FILTER (WHERE n_chars BETWEEN 0 AND 600) FROM m
+) t
+"""
+    )
+    sql["group_source"] = (
+        _sql_prologue()
+        + _sql_matches(PREFIX_COND, _tokens("spark merge"))
+        + """
+SELECT source, docid, score, group_rank FROM (
+  SELECT d.source AS source, s.docid AS docid, round(s.score, 6) AS score,
+         row_number() OVER (PARTITION BY d.source ORDER BY s.score DESC, s.docid ASC) AS group_rank
+  FROM scored s JOIN documents d ON d.doc_id = s.docid
+) t WHERE group_rank <= 2
+"""
+    )
+    sql["distinct_source"] = (
+        _sql_prologue()
+        + _sql_matches(PREFIX_COND, ["spark"])
+        + """
+SELECT docid, round(score, 6) AS score, source FROM (
+  SELECT docid, score, source,
+         row_number() OVER (ORDER BY score DESC, docid ASC) AS gn
+  FROM (
+    SELECT s.docid AS docid, s.score AS score, d.source AS source,
+           row_number() OVER (PARTITION BY d.source ORDER BY s.score DESC, s.docid ASC) AS rn
+    FROM scored s JOIN documents d ON d.doc_id = s.docid
+  ) f WHERE rn = 1
+) g WHERE gn <= 10
+"""
+    )
+    sql["sort_nchars"] = (
+        _sql_prologue()
+        + _sql_matches(PREFIX_COND, ["spark"])
+        + """
+SELECT docid, n_chars, score FROM (
+  SELECT s.docid AS docid, d.n_chars AS n_chars, round(s.score, 6) AS score,
+         row_number() OVER (ORDER BY d.n_chars DESC, s.docid DESC) AS rn
+  FROM scored s JOIN documents d ON d.doc_id = s.docid
+) t WHERE rn <= 10
+"""
+    )
+    sql["vec_topk"] = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(e.embedding, q.qe), 6) AS sim
+FROM embeddings e CROSS JOIN q
+ORDER BY sim DESC, vec_id ASC
+LIMIT 10
+"""
+    sql["dedup_exact"] = """
+SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+    sql["token_count"] = (
+        _sql_prologue()
+        + """
+SELECT doc_id AS docid, count(*) AS n_unique_tokens, count(*) AS field_len
+FROM tok GROUP BY doc_id
+"""
+    )
+    sql["doc_fingerprint"] = (
+        _sql_prologue()
+        + """
+SELECT doc_id AS docid,
+       md5(array_to_string(list_sort(list(term)), ' ')) AS fingerprint
+FROM tok GROUP BY doc_id
+"""
+    )
+    return sql

@@ -57,7 +57,8 @@ def bm25_batch(
     params: BM25Params = DEFAULT_BM25,
 ) -> np.ndarray:
     """Vectorized BM25 for Arrow-batched scoring (same formula)."""
-    idf = np.log1p((docs_count - matching_count + 0.5) / (matching_count + 0.5))
+    # plain log(1+x) to match JS Math.log(1 + x) bit-for-bit, not log1p
+    idf = np.log(1.0 + (docs_count - matching_count + 0.5) / (matching_count + 0.5))
     return (idf * (params.d + tf * (params.k + 1))) / (
         tf + params.k * (1 - params.b + (params.b * field_length) / average_field_length)
     )

@@ -331,8 +331,10 @@ class SearchIndex:
             avg_expr = F.when(F.col("field") == f_, F.lit(avg)).otherwise(avg_expr)
             if f_ in boost:
                 boost_expr = F.when(F.col("field") == f_, F.lit(float(boost[f_]))).otherwise(boost_expr)
-        idf = F.log1p(
-            (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        # plain log(1+x), matching JS Math.log(1 + x) bit-for-bit
+        # (algorithms.ts:124) — not log1p
+        idf = F.log(
+            F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
         )
         num = idf * (F.lit(bm.d) + F.col("tf") * F.lit(bm.k + 1.0))
         den = F.col("tf") + F.lit(bm.k) * (
