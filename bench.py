@@ -1,0 +1,123 @@
+"""Benchmark runner (driver contract): one JSON line to stdout.
+
+Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+  * index-build throughput over the documents table AND over a larger
+    deterministic synthetic web corpus (the engine's true target shape)
+  * per-query latency for the headline query set (__spark_entry__)
+
+Output: {"metric": ..., "value": <total sec>, "unit": "sec",
+         "queries": {name: sec}, "sf": ..., plus informative extras}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "100000"))
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("orama-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+    from orama_spark.build.indexer import IndexBuilder
+    from orama_spark.config import IndexConfig
+    from orama_spark.kernel.tokenizer import TokenizerConfig
+    from orama_spark.sources.webpages import corpus_df
+
+    timings: dict[str, float] = {}
+    extras: dict = {"cpus": CPUS, "synth_docs": SYNTH_DOCS}
+
+    # --- index build over the sf documents table (fresh, no resume)
+    entry_idx_dir = os.path.join(
+        "/tmp/orama_spark_entry_idx", os.path.basename(os.path.normpath(SF_DIR))
+    )
+    shutil.rmtree(entry_idx_dir, ignore_errors=True)
+    t0 = time.time()
+    idx = entry_mod._get_index(spark, SF_DIR)
+    timings["index_build_documents"] = time.time() - t0
+    n_docs = idx.stats["docs_count"]
+    extras["documents_rows"] = n_docs
+    extras["documents_build_docs_per_sec"] = round(
+        n_docs / timings["index_build_documents"], 1
+    )
+
+    # --- index build over the synthetic web corpus (engine target shape:
+    # full profile = stemming + stopwords, en-filtered, Zipf skew)
+    web_cfg = IndexConfig(
+        schema={"text": "string", "lang": "enum"},
+        tokenizer=TokenizerConfig.full(),
+        docid_col="doc_id",
+    )
+    web_dir = "/tmp/orama_spark_bench_webidx"
+    shutil.rmtree(web_dir, ignore_errors=True)
+    t0 = time.time()
+    web = corpus_df(spark, SYNTH_DOCS, partitions=CPUS * 2).select(
+        "doc_id", "text", "lang"
+    )
+    IndexBuilder(web_cfg, postings_partitions=CPUS * 2).build(
+        web, web_dir, input_id=f"bench-{SYNTH_DOCS}"
+    )
+    timings["index_build_web_synth"] = time.time() - t0
+    extras["web_build_docs_per_sec"] = round(
+        SYNTH_DOCS / timings["index_build_web_synth"], 1
+    )
+
+    # --- headline queries (driver-contract set)
+    queries = entry_mod.queries()
+    for name, fn in queries.items():
+        t0 = time.time()
+        fn(spark, SF_DIR).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    # --- web-profile query latency on the synthetic index
+    from orama_spark.query.engine import SearchIndex
+
+    widx = SearchIndex.load(spark, web_dir, web_cfg)
+    web_queries = {
+        "web_q_or": dict(term="search engine index"),
+        "web_q_and": dict(term="distributed computing", threshold=0.0),
+        "web_q_prefix": dict(term="optimiz"),
+        "web_q_fuzzy": dict(term="serch", tolerance=1),
+    }
+    for name, kw in web_queries.items():
+        t0 = time.time()
+        widx.search(**kw).top_df().collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "index-build + BM25 query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "extra": extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -82,9 +82,10 @@ class IndexBuilder:
                     "(index.ts:383-405) not yet replicated distributedly"
                 )
 
-        n_part = self.postings_partitions or max(
-            spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions()
-        )
+        # Default to the input's own partitioning: a 100 TB source arrives
+        # in thousands of splits and keeps them; a tiny table stays at a
+        # handful of partitions instead of paying 64-way shuffle overhead.
+        n_part = self.postings_partitions or max(1, df.rdd.getNumPartitions())
 
         # --- stage: docs (the document store, late-materialized at query)
         docs_path = os.path.join(out_dir, "docs")
