@@ -53,6 +53,10 @@ def _get_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
         return idx
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # small-file corpora: keep scan splits small so tokenize/explode
+    # stages parallelize (at production scale files are >=128MB and the
+    # default bin-packing is already right)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
     df = (
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         .withColumnRenamed("doc_id", "docid")

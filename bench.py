@@ -35,6 +35,8 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "48g")
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "262144")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -76,7 +78,7 @@ def main() -> None:
     web = corpus_df(spark, SYNTH_DOCS, partitions=CPUS * 2).select(
         "doc_id", "text", "lang"
     )
-    IndexBuilder(web_cfg, postings_partitions=CPUS * 2).build(
+    IndexBuilder(web_cfg, postings_partitions=CPUS * 2, docs_already_sorted=True).build(
         web, web_dir, input_id=f"bench-{SYNTH_DOCS}"
     )
     timings["index_build_web_synth"] = time.time() - t0

@@ -56,10 +56,20 @@ def _config_fingerprint(config: IndexConfig, extra: str = "") -> str:
 
 
 class IndexBuilder:
-    def __init__(self, config: IndexConfig, postings_partitions: int | None = None):
+    def __init__(
+        self,
+        config: IndexConfig,
+        postings_partitions: int | None = None,
+        docs_already_sorted: bool = False,
+    ):
+        """``docs_already_sorted``: the input is already partitioned in
+        docid order (e.g. a spark.range-derived source or a previously
+        sorted table) — skip the docs-table range shuffle, a full-corpus
+        shuffle that would dominate a 100 TB ingest for no benefit."""
         config.validate()
         self.config = config
         self.postings_partitions = postings_partitions
+        self.docs_already_sorted = docs_already_sorted
 
     # -------------------------------------------------------------- build
     def build(self, df: DataFrame, out_dir: str, input_id: str = "") -> dict:
@@ -91,32 +101,49 @@ class IndexBuilder:
         docs_path = os.path.join(out_dir, "docs")
 
         def _docs():
-            (
-                df.repartitionByRange(max(n_part // 2, 1), docid)
-                .sortWithinPartitions(docid)
-                .write.mode("overwrite")
-                .parquet(docs_path)
-            )
+            out = df
+            if not self.docs_already_sorted:
+                out = df.repartitionByRange(max(n_part // 2, 1), docid).sortWithinPartitions(docid)
+            out.write.mode("overwrite").parquet(docs_path)
             return {"path": docs_path}
 
         manifest.run_stage("docs", fp, _docs)
 
-        # --- tokenized view (lazy; recomputed per consuming stage — at
-        # 100 TB a cache() of the tokenized corpus would spill for no win:
-        # each stage pipelines the tokenize into its own shuffle write)
-        tok_cols = [
-            tokens_udf(cfg.tokenizer, f_)(F.col(f_).cast("string")).alias(f"__tok_{f_}")
-            for f_ in cfg.searchable_fields
-        ]
-        tokenized = df.select(docid, *tok_cols)
+        # downstream stages read the WRITTEN docs parquet: the input DAG
+        # (which may be an expensive synthetic source or a remote scan)
+        # is evaluated exactly once, and resume-after-failure re-reads
+        # local columnar data instead of recomputing upstream.
+        docs_df = spark.read.parquet(docs_path)
 
-        # --- stage: postings (+ docmeta) per field, one union
+        # --- stage: tokens — the single Arrow-UDF tokenize pass, written
+        # once so the (CPU-bound) stemmer never runs twice per doc; the
+        # tokens table also serves incremental remove/update later.
+        tokens_path = os.path.join(out_dir, "tokens")
+
+        def _tokens():
+            tok_cols = [
+                tokens_udf(cfg.tokenizer, f_)(F.col(f_).cast("string")).alias(
+                    f"__tok_{f_}"
+                )
+                for f_ in cfg.searchable_fields
+            ]
+            (
+                docs_df.select(F.col(docid).alias("docid"), *tok_cols)
+                .write.mode("overwrite")
+                .parquet(tokens_path)
+            )
+            return {"path": tokens_path}
+
+        manifest.run_stage("tokens", fp, _tokens)
+        tokenized = spark.read.parquet(tokens_path)
+
+        # --- stage: postings per field, one union
         postings_path = os.path.join(out_dir, "postings")
         docmeta_path = os.path.join(out_dir, "docmeta")
 
         def _field_postings(f_: str) -> DataFrame:
             t = tokenized.select(
-                F.col(docid).alias("docid"),
+                "docid",
                 F.col(f"__tok_{f_}").alias("toks"),
             ).where(F.col("toks").isNotNull())
             base = t.select(
@@ -157,7 +184,7 @@ class IndexBuilder:
         def _docmeta():
             metas = [
                 tokenized.select(
-                    F.col(docid).alias("docid"),
+                    "docid",
                     F.lit(f_).alias("field"),
                     F.size(f"__tok_{f_}").alias("field_len"),
                 ).where(F.col(f"__tok_{f_}").isNotNull())

@@ -1,0 +1,270 @@
+"""Incremental index maintenance: insert / remove / update / upsert.
+
+Reference semantics (methods/insert.ts, methods/remove.ts:10-318,
+methods/update.ts:8-49, methods/upsert.ts):
+  * remove reverses insert: postings/doc gone, df decremented per
+    (field, term) (components/index.ts:134-136), avgFieldLength updated
+    by the telescoped removal recurrence (index.ts:121-132):
+    sequentially A' = (A*c - fl)/(c-1) collapses to
+    A_final = (A*N - sum(fl_removed)) / (N - m).
+  * insert appends and advances the running mean the same way:
+    A_final = (A*N + sum(fl_new)) / (N + m).
+  * update = remove + insert; upsert = exists ? update : insert.
+
+Scale design: removals NEVER rewrite the posting store. They append to
+  * ``tombstones``        (docid)            — anti-joined at query time
+  * ``dictionary_delta``  (field, term, ddf) — df decrements, joined at
+                                               expansion time (tiny)
+and patch stats.json. ``compact()`` folds tombstones/deltas into the
+base tables (the periodic rewrite a real deployment schedules). Inserts
+append parquet files in the same layouts (no rewrite of existing data).
+This is the LSM-ish pattern every mutable columnar store uses; with an
+Iceberg catalog the same operations become MERGE INTO + snapshot
+expiry, which TableIO can adopt without touching engine logic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import IndexConfig
+from .indexer import IndexBuilder
+from .tokenize import tokens_udf
+
+
+def _stats_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "stats.json")
+
+
+def _load_stats(index_dir: str) -> dict:
+    with open(_stats_path(index_dir)) as f:
+        return json.load(f)
+
+
+def _save_stats(index_dir: str, stats: dict) -> None:
+    with open(_stats_path(index_dir), "w") as f:
+        json.dump(stats, f, indent=1)
+
+
+def remove_documents(
+    spark: SparkSession, index_dir: str, config: IndexConfig, remove_ids: DataFrame
+) -> dict:
+    """Tombstone the given docids (DataFrame with one column ``docid``).
+
+    Appends tombstones + df-decrement deltas, patches stats. Returns
+    stats after removal. Idempotence: ids already tombstoned are ignored.
+    """
+    remove_ids = remove_ids.select(F.col(remove_ids.columns[0]).alias("docid")).distinct()
+    tomb_path = os.path.join(index_dir, "tombstones")
+    if os.path.exists(tomb_path):
+        existing = spark.read.parquet(tomb_path)
+        remove_ids = remove_ids.join(existing, "docid", "left_anti")
+    remove_ids = remove_ids.persist()
+    n_removed = remove_ids.count()
+    if n_removed == 0:
+        remove_ids.unpersist()
+        return _load_stats(index_dir)
+
+    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    removed_postings = postings.join(remove_ids, "docid", "left_semi")
+
+    # df decrements per (field, term) (index.ts:134-136)
+    delta = removed_postings.groupBy("field", "term").agg(
+        (-F.count("*")).alias("ddf")
+    )
+    delta.write.mode("append").parquet(os.path.join(index_dir, "dictionary_delta"))
+
+    # field-length sums for the telescoped avg update (index.ts:121-132)
+    docmeta = spark.read.parquet(os.path.join(index_dir, "docmeta"))
+    fl_sums = {
+        r["field"]: (r["s"], r["c"])
+        for r in docmeta.join(remove_ids, "docid", "left_semi")
+        .groupBy("field")
+        .agg(F.sum("field_len").alias("s"), F.count("*").alias("c"))
+        .collect()
+    }
+    stats = _load_stats(index_dir)
+    n = stats["docs_count"]
+    for field, info in stats["fields"].items():
+        s, _ = fl_sums.get(field, (0, 0))
+        denom = n - n_removed
+        info["avg_field_length"] = (
+            (info["avg_field_length"] * n - s) / denom if denom > 0 else 0.0
+        )
+        info["docs_with_field"] = info["docs_with_field"] - fl_sums.get(field, (0, 0))[1]
+    stats["docs_count"] = n - n_removed
+
+    remove_ids.write.mode("append").parquet(tomb_path)
+    _save_stats(index_dir, stats)
+    remove_ids.unpersist()
+    return stats
+
+
+def insert_documents(
+    spark: SparkSession, index_dir: str, config: IndexConfig, new_docs: DataFrame
+) -> dict:
+    """Append new documents (must carry config.docid_col; ids must be new
+    — duplicate ids raise, mirroring DOCUMENT_ALREADY_EXISTS,
+    documents-store.ts:54)."""
+    docid = config.docid_col
+    docs_path = os.path.join(index_dir, "docs")
+    existing_ids = spark.read.parquet(docs_path).select(F.col(docid).alias("docid"))
+    tomb_path = os.path.join(index_dir, "tombstones")
+    if os.path.exists(tomb_path):
+        existing_ids = existing_ids.join(
+            spark.read.parquet(tomb_path), "docid", "left_anti"
+        )
+    dup = (
+        new_docs.select(F.col(docid).alias("docid"))
+        .join(existing_ids, "docid", "left_semi")
+        .count()
+    )
+    if dup:
+        raise ValueError(f"DOCUMENT_ALREADY_EXISTS: {dup} duplicate docids")
+
+    new_docs = new_docs.persist()
+    n_new = new_docs.count()
+
+    # revive tombstoned ids being re-inserted
+    if os.path.exists(tomb_path):
+        tombs = spark.read.parquet(tomb_path)
+        still = tombs.join(
+            new_docs.select(F.col(docid).alias("docid")), "docid", "left_anti"
+        )
+        still.write.mode("overwrite").parquet(tomb_path + ".new")
+        # swap via rename-free rewrite (atomic enough for local fs use)
+        import shutil
+
+        shutil.rmtree(tomb_path)
+        os.rename(tomb_path + ".new", tomb_path)
+
+    new_docs.write.mode("append").parquet(docs_path)
+
+    tok_cols = [
+        tokens_udf(config.tokenizer, f_)(F.col(f_).cast("string")).alias(f"__tok_{f_}")
+        for f_ in config.searchable_fields
+    ]
+    tokenized = new_docs.select(F.col(docid).alias("docid"), *tok_cols).persist()
+    tokenized.write.mode("append").parquet(os.path.join(index_dir, "tokens"))
+
+    parts = []
+    metas = []
+    for f_ in config.searchable_fields:
+        t = tokenized.select("docid", F.col(f"__tok_{f_}").alias("toks")).where(
+            F.col("toks").isNotNull()
+        )
+        base = t.select(
+            "docid", F.size("toks").alias("field_len"), F.explode("toks").alias("term")
+        )
+        parts.append(
+            base.select(
+                F.lit(f_).alias("field"),
+                "term",
+                "docid",
+                (F.lit(1.0) / F.col("field_len")).cast("double").alias("tf"),
+                F.col("field_len").cast("int").alias("field_len"),
+            )
+        )
+        metas.append(
+            tokenized.select(
+                "docid", F.lit(f_).alias("field"), F.size(f"__tok_{f_}").alias("field_len")
+            ).where(F.col(f"__tok_{f_}").isNotNull())
+        )
+    new_postings = parts[0]
+    for p in parts[1:]:
+        new_postings = new_postings.unionByName(p)
+    new_postings = new_postings.persist()
+    new_postings.sortWithinPartitions("field", "term", "docid").write.mode(
+        "append"
+    ).parquet(os.path.join(index_dir, "postings"))
+    dm = metas[0]
+    for m in metas[1:]:
+        dm = dm.unionByName(m)
+    dm.write.mode("append").parquet(os.path.join(index_dir, "docmeta"))
+
+    # df increments
+    delta = new_postings.groupBy("field", "term").agg(F.count("*").alias("ddf"))
+    delta.write.mode("append").parquet(os.path.join(index_dir, "dictionary_delta"))
+
+    # stats: telescoped running-mean extension
+    fl_sums = {
+        r["field"]: (r["s"], r["c"])
+        for r in dm.groupBy("field")
+        .agg(F.sum("field_len").alias("s"), F.count("*").alias("c"))
+        .collect()
+    }
+    stats = _load_stats(index_dir)
+    n = stats["docs_count"]
+    for field, info in stats["fields"].items():
+        s, c = fl_sums.get(field, (0, 0))
+        denom = n + n_new
+        info["avg_field_length"] = (
+            (info["avg_field_length"] * n + s) / denom if denom > 0 else 0.0
+        )
+        info["docs_with_field"] = info["docs_with_field"] + c
+    stats["docs_count"] = n + n_new
+    _save_stats(index_dir, stats)
+    tokenized.unpersist()
+    new_postings.unpersist()
+    new_docs.unpersist()
+    return stats
+
+
+def update_documents(
+    spark: SparkSession, index_dir: str, config: IndexConfig, docs: DataFrame
+) -> dict:
+    """update = remove + insert (methods/update.ts:8-49)."""
+    docid = config.docid_col
+    remove_documents(spark, index_dir, config, docs.select(docid))
+    return insert_documents(spark, index_dir, config, docs)
+
+
+def upsert_documents(
+    spark: SparkSession, index_dir: str, config: IndexConfig, docs: DataFrame
+) -> dict:
+    """upsert = get + (update | insert) (methods/upsert.ts:8-264); with
+    set semantics the tombstone+insert path covers both branches."""
+    return update_documents(spark, index_dir, config, docs)
+
+
+def compact(spark: SparkSession, index_dir: str, config: IndexConfig) -> None:
+    """Fold tombstones + dictionary deltas into the base tables (the
+    periodic rewrite; query plans shrink back to zero-merge reads)."""
+    tomb_path = os.path.join(index_dir, "tombstones")
+    delta_path = os.path.join(index_dir, "dictionary_delta")
+    if not os.path.exists(tomb_path) and not os.path.exists(delta_path):
+        return
+    import shutil
+
+    tombs = (
+        spark.read.parquet(tomb_path)
+        if os.path.exists(tomb_path)
+        else None
+    )
+    for table in ("docs", "tokens", "postings", "docmeta"):
+        path = os.path.join(index_dir, table)
+        df = spark.read.parquet(path)
+        if tombs is not None:
+            key = config.docid_col if table == "docs" else "docid"
+            df = df.join(tombs.withColumnRenamed("docid", key), key, "left_anti")
+        df.write.mode("overwrite").parquet(path + ".compact")
+        shutil.rmtree(path)
+        os.rename(path + ".compact", path)
+    # dictionary: recompute from compacted postings (exact)
+    dict_path = os.path.join(index_dir, "dictionary")
+    (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .groupBy("field", "term")
+        .agg(F.count("*").alias("df"))
+        .sortWithinPartitions("field", "term")
+        .write.mode("overwrite")
+        .parquet(dict_path + ".compact")
+    )
+    shutil.rmtree(dict_path)
+    os.rename(dict_path + ".compact", dict_path)
+    for p in (tomb_path, delta_path):
+        if os.path.exists(p):
+            shutil.rmtree(p)

@@ -1,0 +1,375 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame plans (no Python in the row path):
+
+  * exact_duplicates       — hash-groupBy on canonical bytes
+  * ngram_jaccard_pairs    — EXACT Jaccard via inverted shingle join
+                             (deterministic; the candidate join prunes
+                             ultra-common shingles by df, the classic
+                             "positional filter lite" for scale)
+  * minhash_signatures / minhash_lsh_pairs
+                           — MinHash (a*x+b mod p over xxhash64
+                             shingles) banded LSH; candidates verified
+                             by exact Jaccard
+  * simhash64 / simhash_pairs
+                           — 64-bit SimHash over tokens, banded by
+                             16-bit chunks, Hamming-verified
+  * embedding_dup_pairs    — cosine near-dup via random-hyperplane LSH
+                             + exact cosine verify
+
+Scale notes: every pairwise step goes through a bucket/shingle equi-join
+(shuffle on the bucket key) — never a cross join. Hot buckets (boiler-
+plate shingles) are dropped by a df cap before the self-join, which is
+the standard guard against quadratic blowup on 100 TB corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Mersenne prime 2^61-1 keeps (a*x+b) mod p in int64 without overflow
+# ... but a*x overflows int64 for 61-bit x; we use 32-bit folded inputs
+# and 31-bit coefficients so products stay < 2^63.
+_P = (1 << 61) - 1
+_MASK32 = (1 << 32) - 1
+
+
+def canonical_text(col: Column) -> Column:
+    """Whitespace-collapsed, trimmed text — canonical bytes for exact dedup."""
+    return F.regexp_replace(F.trim(col), r"\s+", " ")
+
+
+def exact_duplicates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(text_hash, dup_count, keep_id, all_ids) for groups of >1 doc.
+    One shuffle (partial-aggregated groupBy on the 128-bit hash)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.md5(canonical_text(F.col(text_col))).alias("text_hash"),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("id").alias("keep_id"),
+            F.sort_array(F.collect_list("id")).alias("all_ids"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Distinct k-char shingles of the canonical text, JVM-side:
+    transform(sequence(1, len-k+1), i -> substring(text, i, k))."""
+    t = canonical_text(col)
+    n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
+    )
+
+
+def token_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-token (word) shingles over whitespace tokens."""
+    toks = F.split(canonical_text(col), " ")
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), cnt - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similar pairs (id_a < id_b, jaccard >= t).
+
+    Algorithm: explode distinct shingles -> self-equi-join on shingle
+    (counts shared shingles per pair) -> jaccard = shared/(|A|+|B|-shared).
+    ``max_shingle_df`` drops shingles occurring in more than that many
+    docs before the join (bounded work per shingle; at web scale set it
+    to a few hundred — ultra-common shingles are boilerplate and cannot
+    push a pair over a meaningful threshold on their own).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(token_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("sdf"))
+            .where(F.col("sdf") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("shared")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _minhash_coeffs(n_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs, a odd 31-bit, b 31-bit."""
+    coeffs = []
+    state = seed
+    for _ in range(n_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+        a = ((state >> 33) | 1) & 0x7FFFFFFF
+        state = (state * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+        b = (state >> 33) & 0x7FFFFFFF
+        coeffs.append((a or 1, b))
+    return coeffs
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, sig: array<bigint>[n_hashes]) MinHash signatures, all JVM:
+    xxhash64(shingle) folded to 32 bits, then min((a*x+b) mod p) per
+    hash function via transform + array_min."""
+    sh = F.transform(
+        char_shingles(F.col(text_col), shingle_k),
+        lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK32)),
+    )
+    sig_cols = []
+    for a, b in _minhash_coeffs(n_hashes):
+        sig_cols.append(
+            # empty shingle set (text shorter than k) -> sentinel _P
+            F.coalesce(
+                F.array_min(
+                    F.transform(sh, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_P))
+                ),
+                F.lit(_P),
+            )
+        )
+    return docs.select(F.col(id_col).alias("id"), F.array(*sig_cols).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH, verified with the
+    signature-estimated Jaccard (fraction of agreeing minhashes).
+
+    rows/band r = n_hashes/bands; P(candidate) = 1-(1-j^r)^bands.
+    ``max_bucket_size`` caps degenerate buckets (all-identical boiler-
+    plate) before the quadratic within-bucket join.
+    """
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+    sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_k)
+    buckets = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", F.slice("sig", bi * r + 1, r))
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    # cap hot buckets
+    sizes = buckets.groupBy("band", "bh").agg(F.count("*").alias("bsz"))
+    buckets = buckets.join(
+        sizes.where(F.col("bsz") <= max_bucket_size).select("band", "bh"),
+        ["band", "bh"],
+        "left_semi",
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z
+        )
+    ) / F.lit(float(n_hashes))
+    return cand.select("id_a", "id_b", est.alias("est_jaccard")).where(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def simhash64(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash: bigint) — 64-bit SimHash over whitespace tokens.
+    Per bit j: sign of sum over tokens of (+1 if bit j of xxhash64(token)
+    else -1); all via explode + 64 conditional sums (partial-aggregated)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(canonical_text(F.col(text_col)), " ")).alias("tok"),
+    ).select("id", F.xxhash64("tok").alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    sums = toks.groupBy("id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for j in range(64):
+        # bit 63 is the sign bit in two's complement
+        bit_val = F.lit(1 << j).cast("long") if j < 63 else F.lit(-(1 << 63)).cast("long")
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{j}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, banded by the
+    four 16-bit chunks (a pair within distance 3 shares >= 1 chunk)."""
+    sh = simhash64(docs, text_col, id_col)
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.cv").alias("cv"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(b, ["chunk", "cv"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 11,
+) -> DataFrame:
+    """Cosine near-dup pairs (>= threshold) via random-hyperplane LSH:
+    sign-bit sketch -> bucket join on the full sketch -> exact cosine
+    verify. High thresholds => near-identical sketches, so a single
+    16-bit bucket has high recall; verification is exact."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    first = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = first["d"]
+    planes = rng.standard_normal((n_planes, dim))
+    sketch = F.concat(
+        *[
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in planes[j]]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for j in range(n_planes)
+        ]
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sketch.alias("sk")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    mag = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.join(b, F.col("a.sk") == F.col("b.sk"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (dot / (mag("a") * mag("b"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -141,6 +141,44 @@ class OramaOracle:
             self.token_occurrences[prop][token] = self.token_occurrences[prop].get(token, 0) + 1
             self.terms[prop].setdefault(token, []).append(docid)
 
+    # ----------------------------------------------------------- remove
+    def remove(self, docid: int) -> None:
+        """Port of remove (methods/remove.ts:10-318): reverse of insert —
+        postings dropped, df decremented (index.ts:134-136), avg field
+        length updated by the removal recurrence (index.ts:121-132)."""
+        if docid not in self.docs:
+            raise ValueError(f"DOCUMENT_DOES_NOT_EXIST: {docid}")
+        doc = self.docs[docid]
+        count = len(self._insert_order)
+        for prop, typ in self.schema.items():
+            if typ not in _STRING_TYPES:
+                continue
+            fl = self.field_lengths[prop].pop(docid, None)
+            if fl is None:
+                continue
+            if count > 1:
+                self.avg_field_length[prop] = (
+                    self.avg_field_length[prop] * count - fl
+                ) / (count - 1)
+            else:
+                self.avg_field_length[prop] = 0.0
+            freq = self.frequencies[prop].pop(docid, {})
+            for token in freq:
+                self.token_occurrences[prop][token] -= 1
+                ids = self.terms[prop].get(token)
+                if ids is not None and docid in ids:
+                    ids.remove(docid)
+                    if not ids:
+                        del self.terms[prop][token]
+        del self.docs[docid]
+        self._insert_order.remove(docid)
+        self._sorted_terms_cache.clear()
+
+    def update(self, doc: dict, docid: int) -> int:
+        """update = remove + insert (methods/update.ts:8-49)."""
+        self.remove(docid)
+        return self.insert(doc, docid=docid)
+
     # --------------------------------------------------- term matching
     def find_words(self, prop: str, token: str, exact: bool, tolerance: int) -> list[str]:
         """Matched index words for one query token.
@@ -598,6 +636,88 @@ class OramaOracle:
                 with_val.append((docid, score, v))
         with_val.sort(key=lambda t: (t[2], t[0]), reverse=descending)
         return [(d, s) for d, s, _ in with_val] + without_val
+
+    # ------------------------------------------------- vector & hybrid
+    def search_vector(
+        self,
+        vector,
+        prop: str,
+        similarity: float = 0.8,
+        where: Optional[dict] = None,
+        limit: int = 10,
+        offset: int = 0,
+    ) -> dict:
+        """Port of innerVectorSearch + searchVector
+        (methods/search-vector.ts:13-56, trees/vector.ts:77-111):
+        float32 values, float64 accumulation, keep sim >= similarity,
+        sort (score DESC, id ASC)."""
+        import numpy as np
+
+        q = np.asarray(vector, dtype=np.float32).astype(np.float64)
+        qmag = math.sqrt(float((q * q).sum()))
+        where_ids = self.search_by_where_clause(where) if where else None
+        scored = []
+        for docid in self._insert_order:
+            if where_ids is not None and docid not in where_ids:
+                continue
+            v = _get_nested(self.docs[docid], prop)
+            if v is None:
+                continue
+            a = np.asarray(v, dtype=np.float32).astype(np.float64)
+            dot = 0.0
+            for i in range(len(a)):
+                dot += q[i] * a[i]
+            mag = math.sqrt(float((a * a).sum()))
+            sim = dot / (qmag * mag)
+            if sim >= similarity:
+                scored.append((docid, sim))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        return {
+            "count": len(scored),
+            "hits": [
+                {"id": i, "score": s, "document": self.docs[i]}
+                for i, s in scored[offset : offset + limit]
+            ],
+        }
+
+    def search_hybrid(
+        self,
+        term: str,
+        vector,
+        vector_prop: str,
+        similarity: float = 0.8,
+        text_weight: float = 0.5,
+        vector_weight: float = 0.5,
+        where: Optional[dict] = None,
+        limit: int = 10,
+        offset: int = 0,
+        **fulltext_kw,
+    ) -> dict:
+        """Port of innerHybridSearch + mergeAndRankResults
+        (methods/search-hybrid.ts:19-157): each side normalized by its
+        own max, weighted sum, missing side contributes 0."""
+        ft = self.search(term=term, where=where, limit=len(self.docs), **fulltext_kw)
+        vs = self.search_vector(
+            vector, vector_prop, similarity=similarity, where=where,
+            limit=len(self.docs),
+        )
+        t_scores = {h["id"]: h["score"] for h in ft["hits"]}
+        v_scores = {h["id"]: h["score"] for h in vs["hits"]}
+        t_max = max(t_scores.values()) if t_scores else 1.0
+        v_max = max(v_scores.values()) if v_scores else 1.0
+        merged: dict[int, float] = {}
+        for i, s in t_scores.items():
+            merged[i] = (s / t_max if t_max else 0.0) * text_weight
+        for i, s in v_scores.items():
+            merged[i] = merged.get(i, 0.0) + (s / v_max if v_max else 0.0) * vector_weight
+        scored = sorted(merged.items(), key=lambda t: (-t[1], t[0]))
+        return {
+            "count": len(scored),
+            "hits": [
+                {"id": i, "score": s, "document": self.docs[i]}
+                for i, s in scored[offset : offset + limit]
+            ],
+        }
 
     # ------------------------------------------------------ distinct_on
     def _fetch_distinct(

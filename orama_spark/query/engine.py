@@ -128,16 +128,48 @@ class SearchIndex:
     # ---------------------------------------------------------------- io
     @classmethod
     def load(cls, spark: SparkSession, index_dir: str, config: IndexConfig) -> "SearchIndex":
+        """Load index tables; tombstones and dictionary deltas written by
+        incremental maintenance (build/maintenance.py) are composed
+        lazily — an anti-join on the (small) tombstone set and a df
+        adjustment join on the (small) delta set — until compact()."""
         with open(os.path.join(index_dir, "stats.json")) as f:
             stats = json.load(f)
-        return cls(
-            spark,
-            config,
-            docs=spark.read.parquet(os.path.join(index_dir, "docs")),
-            postings=spark.read.parquet(os.path.join(index_dir, "postings")),
-            dictionary=spark.read.parquet(os.path.join(index_dir, "dictionary")),
-            stats=stats,
-        )
+        docs = spark.read.parquet(os.path.join(index_dir, "docs"))
+        postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        dictionary = spark.read.parquet(os.path.join(index_dir, "dictionary"))
+
+        tomb_path = os.path.join(index_dir, "tombstones")
+        if os.path.exists(tomb_path):
+            tombs = spark.read.parquet(tomb_path)
+            docs = docs.join(
+                tombs.withColumnRenamed("docid", config.docid_col),
+                config.docid_col,
+                "left_anti",
+            )
+            postings = postings.join(tombs, "docid", "left_anti")
+
+        delta_path = os.path.join(index_dir, "dictionary_delta")
+        if os.path.exists(delta_path):
+            delta = (
+                spark.read.parquet(delta_path)
+                .groupBy("field", "term")
+                .agg(F.sum("ddf").alias("ddf"))
+            )
+            dictionary = (
+                dictionary.join(delta, ["field", "term"], "full_outer")
+                .select(
+                    "field",
+                    "term",
+                    (
+                        F.coalesce(F.col("df"), F.lit(0))
+                        + F.coalesce(F.col("ddf"), F.lit(0))
+                    ).alias("df"),
+                )
+                .where(F.col("df") > 0)
+            )
+
+        return cls(spark, config, docs=docs, postings=postings,
+                   dictionary=dictionary, stats=stats)
 
     # -------------------------------------------------------- expansion
     def _expansion(

@@ -1,0 +1,234 @@
+"""Tests for training-data pipeline operators: dedup family, similarity,
+text analysis, multimodal plumbing. Oracles are computed in plain Python
+on the same small corpora."""
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from orama_spark.datapipe import dedup, multimodal, similarity, text_quality
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox jumps over the very lazy dog"),     # near dup
+        (3, "completely different content about spark and parquet"),
+        (4, "spark and parquet power large scale data processing"),
+        (5, "the quick brown fox jumps over the lazy cat"),          # near dup
+        (6, "short text"),
+        (7, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _jaccard_tokens(a, b, n=3):
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))}
+
+    sa, sb = sh(a), sh(b)
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+class TestExactDedup:
+    def test_groups(self, docs):
+        out = dedup.exact_duplicates(docs).collect()
+        assert len(out) == 1
+        g = out[0]
+        assert g["dup_count"] == 2 and g["keep_id"] == 0 and g["all_ids"] == [0, 1]
+
+
+class TestNgramJaccard:
+    def test_exact_pairs_vs_python(self, docs, spark):
+        rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+        }
+        want = {}
+        ids = sorted(rows)
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    jc = _jaccard_tokens(rows[i], rows[j])
+                    if jc >= 0.3:
+                        want[(i, j)] = jc
+        assert set(got) == set(want)
+        for k in got:
+            assert got[k] == pytest.approx(want[k], rel=1e-9)
+
+
+class TestMinHash:
+    def test_exact_dups_have_identical_signatures(self, docs):
+        sigs = {r["id"]: r["sig"] for r in dedup.minhash_signatures(docs).collect()}
+        assert sigs[0] == sigs[1]
+        # near-dup signatures mostly agree
+        agree = sum(a == b for a, b in zip(sigs[0], sigs[2])) / len(sigs[0])
+        assert agree > 0.5
+        # unrelated docs mostly disagree
+        agree_far = sum(a == b for a, b in zip(sigs[0], sigs[3])) / len(sigs[0])
+        assert agree_far < 0.3
+
+    def test_lsh_finds_near_dups(self, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["est_jaccard"]
+            for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+        }
+        assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+        assert (0, 2) in pairs or (1, 2) in pairs
+
+
+class TestSimHash:
+    def test_pairs(self, docs):
+        sh = {r["id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+        assert sh[0] == sh[1]  # identical text -> identical simhash
+
+        def ham(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        assert ham(sh[0], sh[2]) < ham(sh[0], sh[3])
+        got = {(r["id_a"], r["id_b"]) for r in dedup.simhash_pairs(docs, max_hamming=3).collect()}
+        assert (0, 1) in got
+
+    def test_bit63_sign_consistency(self, spark):
+        # any text exercising the sign bit must produce a stable long
+        df = spark.createDataFrame([(0, "z " * 50)], "doc_id long, text string")
+        out = dedup.simhash64(df).collect()[0]["simhash"]
+        assert isinstance(out, int)
+
+
+class TestEmbeddingDedup:
+    def test_near_duplicate_vectors(self, spark):
+        rng = np.random.default_rng(1)
+        base = rng.standard_normal(16)
+        rows = [
+            (0, base.tolist()),
+            (1, (base + 0.001 * rng.standard_normal(16)).tolist()),  # near dup
+            (2, rng.standard_normal(16).tolist()),
+            (3, (-base).tolist()),                                   # anti-correlated
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in dedup.embedding_dup_pairs(emb, threshold=0.99).collect()
+        }
+        assert set(got) == {(0, 1)}
+        assert got[(0, 1)] > 0.999
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rng = np.random.default_rng(2)
+        rows = [(i, rng.standard_normal(16).tolist()) for i in range(200)]
+        self.__class__._rows = rows
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_brute_force_matches_numpy(self, emb):
+        rows = self._rows
+        q = rows[0][1]
+        got = [(r["id"], r["cosine"]) for r in similarity.brute_force_topk(emb, q, k=5).collect()]
+        qv = np.array(q, dtype=np.float32).astype(np.float64)
+        sims = []
+        for i, v in rows:
+            a = np.array(v, dtype=np.float32).astype(np.float64)
+            sims.append((i, float(qv @ a / (np.linalg.norm(qv) * np.linalg.norm(a)))))
+        sims.sort(key=lambda t: (-round(t[1], 6), t[0]))
+        want = [(i, round(s, 6)) for i, s in sims[:5]]
+        assert [g[0] for g in got] == [w[0] for w in want]
+
+    def test_ivf_probes_subset_and_finds_top1(self, emb):
+        q = self._rows[7][1]
+        assigned, cents = similarity.ivf_build(emb, n_centroids=8)
+        got = similarity.ivf_topk(assigned, cents, q, k=1, nprobe=3).collect()
+        assert got[0]["id"] == 7  # the vector itself lives in a probed bucket
+
+    def test_hyperplane_topk_high_recall(self, emb):
+        q = self._rows[3][1]
+        exact = {r["id"] for r in similarity.brute_force_topk(emb, q, k=5).collect()}
+        approx = {r["id"] for r in similarity.hyperplane_topk(emb, q, k=5, pool=100).collect()}
+        assert len(exact & approx) >= 3
+
+
+class TestTextQuality:
+    def test_token_stats(self, docs):
+        out = {r["id"]: r for r in text_quality.token_stats(docs).collect()}
+        assert out[0]["n_tokens"] == 9
+        assert out[0]["n_unique_tokens"] == 8  # 'the' twice
+        assert out[7]["n_tokens"] == 0
+
+    def test_quality_score_bounds_and_determinism(self, docs):
+        a = {r["id"]: r["quality"] for r in text_quality.quality_score(docs).collect()}
+        b = {r["id"]: r["quality"] for r in text_quality.quality_score(docs).collect()}
+        assert a == b
+        assert all(0.0 <= v <= 1.0 for v in a.values())
+
+    def test_lang_id(self, spark):
+        rows = [
+            (0, "the cat is in the house and it is warm"),
+            (1, "der Hund ist nicht mit der Katze auf dem Sofa"),
+            (2, "le chat est dans la maison pour la nuit"),
+            (3, "el perro es grande y la casa es blanca"),
+            (4, "xyzzy plugh qwerty"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["id"]: r["lang_pred"] for r in text_quality.lang_id(df).collect()}
+        assert out[0] == "en" and out[1] == "de" and out[2] == "fr" and out[3] == "es"
+        assert out[4] == "und"
+
+    def test_winnowing_subset_invariance(self, spark):
+        # identical docs -> identical fingerprints; shared long substring
+        # -> overlapping fingerprints
+        rows = [
+            (0, "abcdefghijklmnopqrstuvwxyz0123456789"),
+            (1, "abcdefghijklmnopqrstuvwxyz0123456789"),
+            (2, "PREFIX abcdefghijklmnopqrstuvwxyz0123456789 SUFFIX"),
+            (3, "totally unrelated content here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fp = {r["id"]: set(r["fingerprints"]) for r in text_quality.winnowing_fingerprints(df).collect()}
+        assert fp[0] == fp[1]
+        assert len(fp[0] & fp[2]) > len(fp[0]) * 0.5
+        assert not (fp[0] & fp[3])
+
+
+class TestMultimodal:
+    def test_metadata_and_stats(self, spark):
+        media = multimodal.synth_media_df(spark, 30)
+        meta = multimodal.media_metadata(media).collect()
+        assert len(meta) == 30
+        stats = {r["media_id"]: r for r in multimodal.payload_stats(media).collect()}
+        raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+        for mid, b in raw.items():
+            assert stats[mid]["n_bytes"] == len(b)
+            assert stats[mid]["payload_sha"] == hashlib.sha256(b).hexdigest()
+
+    def test_feature_extraction_stub(self, spark):
+        media = multimodal.synth_media_df(spark, 12)
+        feats = multimodal.extract_features(media, strict=False).collect()
+        assert len(feats) == 12
+        for r in feats:
+            assert len(r["feature"]) == 8
+            assert all(0.0 <= x <= 1.0 for x in r["feature"])
+
+    def test_strict_mode_raises(self, spark):
+        media = multimodal.synth_media_df(spark, 3)
+        with pytest.raises(Exception):
+            multimodal.extract_features(media, strict=True).collect()
+
+    def test_frame_sampling_never_reads_payload(self, spark):
+        media = multimodal.synth_media_df(spark, 30)
+        plan = multimodal.frame_sample_plan(media, every_ms=500)
+        rows = plan.collect()
+        assert rows, "videos present"
+        # payload must be pruned from the physical scan
+        explained = plan._jdf.queryExecution().executedPlan().toString()
+        assert "payload" not in explained
