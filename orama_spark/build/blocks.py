@@ -1,0 +1,222 @@
+"""Posting-block physical layout: docid-delta + varint compressed blocks
+with per-block max-score bounds (the custom data modeling Catalyst
+doesn't provide — SURVEY §4 item 1).
+
+Block table schema (one row per <=BLOCK_SIZE postings of one term):
+  field string, term string, block_id int, n int,
+  first_docid long, last_docid long,
+  docid_deltas binary (varint), field_lens binary (varint),
+  max_score double  -- BM25 upper bound for any posting in the block
+
+With the default deduplicating tokenizer tf == 1/field_len, so storing
+field_len (varint, small ints) reconstructs both tf and fl — docids and
+field lengths are the ONLY per-posting payload, classic inverted-index
+compression (delta + varint ~ 1-2 bytes/posting vs 16 in the row layout).
+
+``max_score`` uses the monotonicity of BM25 in field_len when tf=1/fl:
+score(fl) = idf*(d + (k+1)/fl) / (1/fl + k*(1-b+b*fl/avgfl)) is strictly
+decreasing in fl, so the block bound is score(min fl in block). Bounds
+are computed at build time with the final (N, avgfl, df) statistics.
+
+Encoding runs inside mapInPandas over partitions already sorted by
+(field, term, docid) — each task streams through its slice emitting
+blocks, never materializing a per-term group (that is what makes the
+layout skew-proof: a hot term just yields many blocks across tasks).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+from ..kernel.bm25 import BM25Params
+
+BLOCK_SIZE = 128
+
+BLOCKS_SCHEMA = StructType(
+    [
+        StructField("field", StringType(), False),
+        StructField("term", StringType(), False),
+        StructField("block_id", IntegerType(), False),
+        StructField("n", IntegerType(), False),
+        StructField("first_docid", LongType(), False),
+        StructField("last_docid", LongType(), False),
+        StructField("docid_deltas", BinaryType(), False),
+        StructField("field_lens", BinaryType(), False),
+        StructField("max_score", DoubleType(), False),
+    ]
+)
+
+
+def varint_encode(arr: np.ndarray) -> bytes:
+    """LEB128 varint encode of a uint64 array, vectorized by byte slot."""
+    a = arr.astype(np.uint64)
+    n = len(a)
+    if n == 0:
+        return b""
+    # bytes needed per value: 1 + one per 7-bit group above the first
+    nb = np.ones(n, dtype=np.int64)
+    for shift in range(7, 64, 7):
+        nb += (a >= (np.uint64(1) << np.uint64(shift))).astype(np.int64)
+    total = int(nb.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    offsets = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    rem = a.copy()
+    live = np.ones(n, dtype=bool)
+    for i in range(10):
+        if not live.any():
+            break
+        idx = np.nonzero(live)[0]
+        byte = (rem[idx] & np.uint64(0x7F)).astype(np.uint8)
+        more = rem[idx] >= np.uint64(0x80)
+        out[offsets[idx] + i] = byte | (more.astype(np.uint8) << 7)
+        rem[idx] = rem[idx] >> np.uint64(7)
+        live[idx] = more
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Inverse of varint_encode — vectorized boundary scan + shifts."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    ends = np.nonzero(b < 0x80)[0]
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lengths = ends - starts + 1
+    n = len(ends)
+    vals = np.zeros(n, dtype=np.uint64)
+    max_len = int(lengths.max())
+    for i in range(max_len):
+        mask = lengths > i
+        idx = starts[mask] + i
+        vals[mask] |= (b[idx].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * i)
+    return vals
+
+
+def bm25_for_fl(fl: np.ndarray, df: float, n_docs: float, avgfl: float, p: BM25Params) -> np.ndarray:
+    """BM25 with tf = 1/fl (the deduplicating-tokenizer identity)."""
+    idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+    tf = 1.0 / fl
+    return (idf * (p.d + tf * (p.k + 1))) / (tf + p.k * (1 - p.b + (p.b * fl) / avgfl))
+
+
+def build_blocks(
+    postings: DataFrame,
+    dictionary: DataFrame,
+    stats: dict,
+    bm25: BM25Params,
+    block_size: int = BLOCK_SIZE,
+) -> DataFrame:
+    """postings (sorted by field,term,docid within partitions) -> blocks.
+
+    The df column is broadcast-joined on; the heavy stream stays in its
+    existing partitioning (narrow), each task cutting blocks at term
+    boundaries or every ``block_size`` rows.
+    """
+    n_docs = float(stats["docs_count"])
+    avgs = {f_: float(v["avg_field_length"]) for f_, v in stats["fields"].items()}
+    p = postings.join(F.broadcast(dictionary), ["field", "term"])
+
+    params = bm25
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        out_rows: list[dict] = []
+
+        def flush_group(field: str, term: str, df_val: float, docids: np.ndarray, fls: np.ndarray):
+            avgfl = avgs[field]
+            for bi, s in enumerate(range(0, len(docids), block_size)):
+                d = docids[s : s + block_size]
+                f_ = fls[s : s + block_size]
+                deltas = np.diff(d, prepend=d[0]).astype(np.uint64)
+                ub = float(
+                    bm25_for_fl(np.array([f_.min()], dtype=np.float64), df_val, n_docs, avgfl, params)[0]
+                )
+                out_rows.append(
+                    {
+                        "field": field,
+                        "term": term,
+                        "block_id": bi,
+                        "n": len(d),
+                        "first_docid": int(d[0]),
+                        "last_docid": int(d[-1]),
+                        "docid_deltas": varint_encode(deltas),
+                        "field_lens": varint_encode(f_.astype(np.uint64)),
+                        "max_score": ub,
+                    }
+                )
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            # group by (field, term) preserving sorted order
+            keys = pdf["field"].astype(str) + "\x00" + pdf["term"].astype(str)
+            boundaries = np.nonzero(keys.values[1:] != keys.values[:-1])[0] + 1
+            starts = np.concatenate(([0], boundaries))
+            ends = np.concatenate((boundaries, [len(pdf)]))
+            # hold back the last group: it may continue in the next batch
+            for s, e in zip(starts[:-1], ends[:-1]):
+                flush_group(
+                    pdf["field"].iat[s],
+                    pdf["term"].iat[s],
+                    float(pdf["df"].iat[s]),
+                    pdf["docid"].values[s:e].astype(np.int64),
+                    pdf["field_len"].values[s:e].astype(np.int64),
+                )
+            carry = pdf.iloc[starts[-1]:].copy()
+            if out_rows:
+                yield pd.DataFrame(out_rows)
+                out_rows = []
+        if carry is not None and len(carry):
+            flush_group(
+                carry["field"].iat[0],
+                carry["term"].iat[0],
+                float(carry["df"].iat[0]),
+                carry["docid"].values.astype(np.int64),
+                carry["field_len"].values.astype(np.int64),
+            )
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    return p.select("field", "term", "docid", "field_len", "df").mapInPandas(
+        encode, BLOCKS_SCHEMA
+    )
+
+
+def decode_blocks_to_postings(blocks_pdf: pd.DataFrame) -> pd.DataFrame:
+    """blocks rows -> exploded (field, term, docid, field_len) pandas —
+    the query-side decode kernel (runs inside an Arrow batch)."""
+    fields, terms, docids, fls = [], [], [], []
+    for r in blocks_pdf.itertuples(index=False):
+        deltas = varint_decode(bytes(r.docid_deltas)).astype(np.int64)
+        d = np.cumsum(deltas)
+        d[0] = r.first_docid
+        d = r.first_docid + np.concatenate(([0], np.cumsum(deltas[1:])))
+        f_ = varint_decode(bytes(r.field_lens)).astype(np.int64)
+        fields.append(np.full(len(d), r.field, dtype=object))
+        terms.append(np.full(len(d), r.term, dtype=object))
+        docids.append(d)
+        fls.append(f_)
+    if not docids:
+        return pd.DataFrame(
+            {"field": [], "term": [], "docid": [], "field_len": []}
+        )
+    return pd.DataFrame(
+        {
+            "field": np.concatenate(fields),
+            "term": np.concatenate(terms),
+            "docid": np.concatenate(docids),
+            "field_len": np.concatenate(fls),
+        }
+    )

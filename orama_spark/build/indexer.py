@@ -107,7 +107,8 @@ class IndexBuilder:
             out.write.mode("overwrite").parquet(docs_path)
             return {"path": docs_path}
 
-        manifest.run_stage("docs", fp, _docs)
+        results: dict = {}
+        results["docs"] = manifest.run_stage("docs", fp, _docs)
 
         # downstream stages read the WRITTEN docs parquet: the input DAG
         # (which may be an expensive synthetic source or a remote scan)
@@ -134,7 +135,7 @@ class IndexBuilder:
             )
             return {"path": tokens_path}
 
-        manifest.run_stage("tokens", fp, _tokens)
+        results["tokens"] = manifest.run_stage("tokens", fp, _tokens)
         tokenized = spark.read.parquet(tokens_path)
 
         # --- stage: postings per field, one union
@@ -171,15 +172,20 @@ class IndexBuilder:
             all_postings = parts[0]
             for p in parts[1:]:
                 all_postings = all_postings.unionByName(p)
+            # range partitioning includes docid: a Zipf-hot term ('the' at
+            # 10^12 docs) SPLITS across partitions by docid range instead
+            # of landing on one reducer (equal range keys co-locate, so
+            # (field, term) alone would re-create the skew). Term min/max
+            # per file/row-group still prunes IN-list lookups.
             (
-                all_postings.repartitionByRange(n_part, "field", "term")
+                all_postings.repartitionByRange(n_part, "field", "term", "docid")
                 .sortWithinPartitions("field", "term", "docid")
                 .write.mode("overwrite")
                 .parquet(postings_path)
             )
             return {"path": postings_path}
 
-        manifest.run_stage("postings", fp, _postings)
+        results["postings"] = manifest.run_stage("postings", fp, _postings)
 
         def _docmeta():
             metas = [
@@ -193,15 +199,12 @@ class IndexBuilder:
             dm = metas[0]
             for m in metas[1:]:
                 dm = dm.unionByName(m)
-            (
-                dm.repartitionByRange(max(n_part // 4, 1), "docid")
-                .sortWithinPartitions("docid")
-                .write.mode("overwrite")
-                .parquet(docmeta_path)
-            )
+            # no shuffle: docmeta inherits the tokens partitioning (it is
+            # only aggregated for stats / maintenance, never key-probed)
+            dm.write.mode("overwrite").parquet(docmeta_path)
             return {"path": docmeta_path}
 
-        manifest.run_stage("docmeta", fp, _docmeta)
+        results["docmeta"] = manifest.run_stage("docmeta", fp, _docmeta)
 
         # --- stage: dictionary (term df per field)
         dict_path = os.path.join(out_dir, "dictionary")
@@ -218,7 +221,7 @@ class IndexBuilder:
             )
             return {"path": dict_path}
 
-        manifest.run_stage("dictionary", fp, _dictionary)
+        results["dictionary"] = manifest.run_stage("dictionary", fp, _dictionary)
 
         # --- stage: stats (global doc count + per-field avg field length)
         stats_path = os.path.join(out_dir, "stats.json")
@@ -249,9 +252,9 @@ class IndexBuilder:
                 json.dump(stats, fh, indent=1)
             return {"path": stats_path, "docs_count": int(docs_count)}
 
-        manifest.run_stage("stats", fp, _stats)
+        results["stats"] = manifest.run_stage("stats", fp, _stats)
         manifest.save()
-        return manifest.entries
+        return results
 
     @staticmethod
     def _exact_avg_field_length(docmeta: DataFrame, field: str, docs_count: int) -> float:

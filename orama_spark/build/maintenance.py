@@ -128,18 +128,18 @@ def insert_documents(
     new_docs = new_docs.persist()
     n_new = new_docs.count()
 
-    # revive tombstoned ids being re-inserted
+    # re-inserting a tombstoned id: simply clearing the tombstone would
+    # REVIVE the dead base rows alongside the new ones. Fold tombstones
+    # physically first (compact), then append — correct always, costs a
+    # rewrite only on the remove-then-reinsert path.
     if os.path.exists(tomb_path):
-        tombs = spark.read.parquet(tomb_path)
-        still = tombs.join(
-            new_docs.select(F.col(docid).alias("docid")), "docid", "left_anti"
+        tombstoned_reinserts = (
+            new_docs.select(F.col(docid).alias("docid"))
+            .join(spark.read.parquet(tomb_path), "docid", "left_semi")
+            .count()
         )
-        still.write.mode("overwrite").parquet(tomb_path + ".new")
-        # swap via rename-free rewrite (atomic enough for local fs use)
-        import shutil
-
-        shutil.rmtree(tomb_path)
-        os.rename(tomb_path + ".new", tomb_path)
+        if tombstoned_reinserts:
+            compact(spark, index_dir, config)
 
     new_docs.write.mode("append").parquet(docs_path)
 

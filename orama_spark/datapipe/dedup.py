@@ -63,21 +63,23 @@ def char_shingles(col: Column, k: int = 5) -> Column:
     """Distinct k-char shingles of the canonical text, JVM-side:
     transform(sequence(1, len-k+1), i -> substring(text, i, k))."""
     t = canonical_text(col)
-    n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
+    n = F.length(t) - F.lit(k - 1)
+    grams = F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
+    return F.when(n >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
     )
 
 
 def token_shingles(col: Column, n: int = 3) -> Column:
     """Distinct n-token (word) shingles over whitespace tokens."""
     toks = F.split(canonical_text(col), " ")
-    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), cnt - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
+    cnt = F.size(toks) - F.lit(n - 1)
+    shingles = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(cnt >= 1, F.array_distinct(shingles)).otherwise(
+        F.array().cast("array<string>")
     )
 
 

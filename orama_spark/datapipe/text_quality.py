@@ -131,17 +131,23 @@ def winnowing_fingerprints(
     every ``window`` consecutive hashes. Pure expressions: transform to
     k-gram hashes, then transform over window starts + array_min."""
     t = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
-    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(0))
-    hashes = F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: F.xxhash64(t.substr(i, F.lit(k)))
-    )
-    n_windows = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(0))
-    fps = F.array_sort(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n_windows),
-                lambda i: F.array_min(F.slice(hashes, i, window)),
+    n_grams = F.length(t) - F.lit(k - 1)
+    hashes = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams), lambda i: F.xxhash64(t.substr(i, F.lit(k)))
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    n_windows = F.size(hashes) - F.lit(window - 1)
+    fps = F.when(
+        n_windows >= 1,
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_windows),
+                    lambda i: F.array_min(F.slice(hashes, i, window)),
+                )
             )
-        )
-    )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     return docs.select(F.col(id_col).alias("id"), fps.alias("fingerprints"))
