@@ -1,0 +1,193 @@
+"""Scaling-evidence runner (BASELINE.md protocol).
+
+A real multi-executor cluster is unavailable in this sandbox; per the
+task instructions the N -> 4N executor criterion is evidenced by running
+the SAME job on the SAME input at two parallelism levels:
+
+    N  = local[8]   (spark.sql.shuffle.partitions = 16)
+    4N = local[32]  (spark.sql.shuffle.partitions = 64)
+
+Each level runs in its own subprocess (own JVM) measuring:
+  (a) full inverted-index build over the deterministic synthetic web
+      corpus (SPARK_GRAFT_SCALING_DOCS, default 200k docs)
+  (b) the query-set batch (12 queries x 3 repeats)
+
+Writes BENCH/BASELINE.md with throughputs and
+efficiency = (T_N / T_4N) / 4  (target >= 0.8), plus per-stage lineage
+from the build manifests.
+
+Usage:  python bench/scaling.py            # orchestrates both levels
+        python bench/scaling.py --level 8  # one level, prints JSON
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "200000"))
+QUERY_REPEATS = 3
+QUERIES = [
+    dict(term="search engine index"),
+    dict(term="fox"),
+    dict(term="distributed computing", threshold=0.0),
+    dict(term="the quick brown fox jumps"),
+    dict(term="optimiz"),
+    dict(term="serch", tolerance=1),
+    dict(term="river mountain ocean data"),
+    dict(term="spark shuffle partition cluster executor"),
+    dict(term="beautiful national generation"),
+    dict(term="engine", exact=True),
+    dict(term="water long little very after"),
+    dict(term="token term rank score vector"),
+]
+
+
+def run_level(cores: int) -> dict:
+    from pyspark.sql import SparkSession
+
+    from orama_spark.build.indexer import IndexBuilder
+    from orama_spark.config import IndexConfig
+    from orama_spark.kernel.tokenizer import TokenizerConfig
+    from orama_spark.query.engine import SearchIndex
+    from orama_spark.sources.webpages import corpus_df
+
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"orama-scaling-{cores}")
+        .config("spark.sql.shuffle.partitions", str(cores * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "262144")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    cfg = IndexConfig(
+        schema={"text": "string", "lang": "enum"},
+        tokenizer=TokenizerConfig.full(),
+        docid_col="doc_id",
+    )
+    out = f"/tmp/orama_scaling_idx_{cores}"
+    shutil.rmtree(out, ignore_errors=True)
+
+    # same input at both levels: same seed/doc count; partition count
+    # scales with cores exactly as a real cluster's input splits would
+    t0 = time.time()
+    web = corpus_df(spark, N_DOCS, partitions=cores * 2).select("doc_id", "text", "lang")
+    IndexBuilder(cfg, postings_partitions=cores * 2, docs_already_sorted=True).build(
+        web, out, input_id=f"scaling-{N_DOCS}"
+    )
+    t_build = time.time() - t0
+
+    idx = SearchIndex.load(spark, out, cfg)
+    # warmup (plan compilation, parquet footers)
+    idx.search(term="fox").top_df().collect()
+
+    lat = []
+    t0 = time.time()
+    for _ in range(QUERY_REPEATS):
+        for q in QUERIES:
+            tq = time.time()
+            idx.search(**q).top_df().collect()
+            lat.append(time.time() - tq)
+    t_query = time.time() - t0
+    lat.sort()
+    p95 = lat[int(len(lat) * 0.95) - 1]
+
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    stage_secs = {k: v["seconds"] for k, v in manifest.items()}
+    spark.stop()
+    return {
+        "cores": cores,
+        "docs": N_DOCS,
+        "t_build_sec": round(t_build, 2),
+        "build_docs_per_sec": round(N_DOCS / t_build, 1),
+        "t_query_batch_sec": round(t_query, 2),
+        "queries_run": len(lat),
+        "query_p50_sec": round(lat[len(lat) // 2], 3),
+        "query_p95_sec": round(p95, 3),
+        "stage_seconds": stage_secs,
+    }
+
+
+def main() -> None:
+    if "--level" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--level") + 1])
+        print(json.dumps(run_level(cores)))
+        return
+
+    results = {}
+    for cores in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--level", str(cores)],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cores] = json.loads(line)
+        print(f"local[{cores}]: {results[cores]}", file=sys.stderr)
+
+    r8, r32 = results[8], results[32]
+    eff_build = (r8["t_build_sec"] / r32["t_build_sec"]) / 4
+    eff_query = (r8["t_query_batch_sec"] / r32["t_query_batch_sec"]) / 4
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    lines = [
+        "# BENCH/BASELINE.md — scaling evidence (N -> 4N parallelism)",
+        "",
+        "Protocol (BASELINE.md): same job, same input "
+        f"({N_DOCS:,} synthetic web docs, seed 42, full tokenizer profile), "
+        "two parallelism levels on this 32-core box standing in for N and "
+        "4N executors. efficiency = (T_N / T_4N) / 4, target >= 0.8.",
+        "",
+        "| metric | local[8] (N) | local[32] (4N) | efficiency |",
+        "|---|---|---|---|",
+        f"| index build wall (s) | {r8['t_build_sec']} | {r32['t_build_sec']} | {eff_build:.3f} |",
+        f"| build throughput (docs/s) | {r8['build_docs_per_sec']} | {r32['build_docs_per_sec']} | — |",
+        f"| query batch wall (s, {r8['queries_run']} q) | {r8['t_query_batch_sec']} | {r32['t_query_batch_sec']} | {eff_query:.3f} |",
+        f"| query p50 (s) | {r8['query_p50_sec']} | {r32['query_p50_sec']} | — |",
+        f"| query p95 (s) | {r8['query_p95_sec']} | {r32['query_p95_sec']} | — |",
+        "",
+        "## Per-stage build lineage (seconds)",
+        "",
+        "| stage | local[8] | local[32] |",
+        "|---|---|---|",
+    ]
+    for stage in sorted(r8["stage_seconds"]):
+        lines.append(
+            f"| {stage} | {r8['stage_seconds'][stage]} | "
+            f"{r32['stage_seconds'].get(stage, '—')} |"
+        )
+    lines += [
+        "",
+        "Raw JSON:",
+        "```json",
+        json.dumps(results, indent=1),
+        "```",
+        "",
+        "Note: query latency at this corpus size is dominated by fixed "
+        "per-query planning/scheduling overhead (~0.1-1 s on local mode), "
+        "not by data volume — per-query work does not scale down with "
+        "more cores, so the build-throughput efficiency is the meaningful "
+        "N->4N scaling signal; query THROUGHPUT scaling comes from "
+        "running queries concurrently, which the fixed-overhead batch "
+        "here does not model.",
+    ]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({"efficiency_build": round(eff_build, 3),
+                      "efficiency_query": round(eff_query, 3)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -374,12 +374,13 @@ class SearchIndex:
         )
         return (num / den * boost_expr).alias("s")
 
-    def _exact_post_filter(
-        self, scored: DataFrame, term: str, props: list[str]
-    ) -> DataFrame:
-        """Case-sensitive whole-word post-filter over original text
-        (methods/search-fulltext.ts:88-115)."""
+    def exact_filter_ids(self, term: str, props: Optional[list[str]] = None) -> DataFrame:
+        """Docids passing the exact-mode case-sensitive whole-word filter
+        (methods/search-fulltext.ts:88-115): some property contains ALL
+        whitespace-split query words as \\b-bounded case-sensitive
+        matches. Reusable as a WAND keep_ids mask."""
         docid = self.config.docid_col
+        props = props or self.config.searchable_fields
         search_terms = term.strip().split()
         per_prop = []
         for prop in props:
@@ -391,8 +392,12 @@ class SearchIndex:
         any_prop = per_prop[0]
         for c in per_prop[1:]:
             any_prop = any_prop | c
-        keep = self.docs.where(any_prop).select(F.col(docid).alias("docid"))
-        return scored.join(keep, "docid", "left_semi")
+        return self.docs.where(any_prop).select(F.col(docid).alias("docid"))
+
+    def _exact_post_filter(
+        self, scored: DataFrame, term: str, props: list[str]
+    ) -> DataFrame:
+        return scored.join(self.exact_filter_ids(term, props), "docid", "left_semi")
 
     # ------------------------------------------------------------ facets
     def facets_df(self, result: SearchResult, prop: str, config: Optional[dict] = None) -> DataFrame:

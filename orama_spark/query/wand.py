@@ -102,9 +102,16 @@ class BlockIndex:
             tf + F.lit(bm.k) * (F.lit(1.0 - bm.b) + F.lit(bm.b) * F.col("field_len") / avg_expr)
         )
 
-    def wand_topk(self, term: str, k: int = 10) -> DataFrame:
+    def wand_topk(self, term: str, k: int = 10,
+                  keep_ids: Optional[DataFrame] = None) -> DataFrame:
         """Exact-term BM25 top-k via block-max pruning. Returns
-        (docid, score) rank-identical with the plain engine path."""
+        (docid, score) rank-identical with the plain engine path.
+
+        ``keep_ids`` (one column ``docid``): a pre-computed doc filter
+        (where-clause mask or the exact-mode case-sensitive post-filter,
+        search-fulltext.ts:88-115). It is applied to the seed scoring —
+        so θ lower-bounds the k-th FILTERED score — and to phase 2; the
+        pruning proof is unchanged since filtering only removes docs."""
         tokens = self.tokenizer.tokenize(term)
         if not tokens:
             return self.spark.createDataFrame([], "docid long, score double")
@@ -126,11 +133,13 @@ class BlockIndex:
         # phase 0: seed with the highest-ub (field, term)
         seed_f, seed_t = max(ubs, key=ubs.get)
         dfq = F.broadcast(self.dictionary.where(F.col("term").isin(tokens)))
-        seed_posts = (
-            meta.where((F.col("field") == seed_f) & (F.col("term") == seed_t))
-            .mapInPandas(lambda it: map(decode_blocks_to_postings, it), _DECODED_SCHEMA)
-            .join(dfq, ["field", "term"])
-            .select("docid", self._bm25_expr().alias("s"))
+        seed_posts = meta.where(
+            (F.col("field") == seed_f) & (F.col("term") == seed_t)
+        ).mapInPandas(lambda it: map(decode_blocks_to_postings, it), _DECODED_SCHEMA)
+        if keep_ids is not None:
+            seed_posts = seed_posts.join(keep_ids, "docid", "left_semi")
+        seed_posts = seed_posts.join(dfq, ["field", "term"]).select(
+            "docid", self._bm25_expr().alias("s")
         )
         seed_top = seed_posts.orderBy(F.desc("s")).limit(k).collect()
         theta = seed_top[-1]["s"] if len(seed_top) >= k else 0.0
@@ -163,7 +172,11 @@ class BlockIndex:
         scored = (
             overlapping.mapInPandas(lambda it: map(decode_blocks_to_postings, it), _DECODED_SCHEMA)
             .join(cand, "docid", "left_semi")
-            .join(dfq, ["field", "term"])
+        )
+        if keep_ids is not None:
+            scored = scored.join(keep_ids, "docid", "left_semi")
+        scored = (
+            scored.join(dfq, ["field", "term"])
             .select("docid", self._bm25_expr().alias("s"))
             .groupBy("docid")
             .agg(F.sum("s").alias("score"))
