@@ -62,7 +62,7 @@ def _get_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
         .withColumnRenamed("doc_id", "docid")
     )
     out = os.path.join(
-        "/tmp/orama_spark_entry_idx", os.path.basename(os.path.normpath(sf_dir))
+        "/dev/shm/orama_spark_entry_idx", os.path.basename(os.path.normpath(sf_dir))
     )
     IndexBuilder(DOC_CONFIG).build(df, out, input_id=sf_dir)
     idx = SearchIndex.load(spark, out, DOC_CONFIG)
@@ -296,6 +296,119 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["doc_fingerprint"] = doc_fingerprint
 
+    # ---- training-data pipeline operators (orama_spark.datapipe) ----
+    def _docs(spark, sf_dir):
+        return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def _emb(spark, sf_dir):
+        return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def ngram_jaccard(spark, sf_dir):
+        from orama_spark.datapipe.dedup import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(_docs(spark, sf_dir), n=2, threshold=0.5).select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        )
+    q["dedup_ngram_jaccard"] = ngram_jaccard
+
+    def minhash_pairs(spark, sf_dir):  # rows-only: Spark xxhash64 inside
+        from orama_spark.datapipe.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(
+            _docs(spark, sf_dir), threshold=0.5
+        ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    q["dedup_minhash_lsh"] = minhash_pairs
+
+    def simhash_prs(spark, sf_dir):  # rows-only: Spark xxhash64 inside
+        from orama_spark.datapipe.dedup import simhash_pairs
+
+        return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    q["dedup_simhash"] = simhash_prs
+
+    def emb_dups(spark, sf_dir):  # rows-only: LSH candidate recall
+        from orama_spark.datapipe.dedup import embedding_dup_pairs
+
+        return embedding_dup_pairs(
+            _emb(spark, sf_dir), threshold=0.9
+        ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    q["dedup_embedding"] = emb_dups
+
+    def quality(spark, sf_dir):
+        from orama_spark.datapipe.text_quality import quality_score
+
+        return quality_score(_docs(spark, sf_dir)).withColumnRenamed("id", "docid")
+    q["text_quality_score"] = quality
+
+    def langid(spark, sf_dir):
+        from orama_spark.datapipe.text_quality import lang_id
+
+        return lang_id(_docs(spark, sf_dir)).withColumnRenamed("id", "docid")
+    q["text_lang_id"] = langid
+
+    def tokstats(spark, sf_dir):
+        from orama_spark.datapipe.text_quality import token_stats
+
+        return token_stats(_docs(spark, sf_dir)).select(
+            F.col("id").alias("docid"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_unique_tokens").cast("long").alias("n_unique_tokens"),
+            F.col("mean_token_len"),
+            F.col("max_token_len").cast("long").alias("max_token_len"),
+        )
+    q["text_token_stats"] = tokstats
+
+    def winnow(spark, sf_dir):  # rows-only: Spark xxhash64 inside
+        from orama_spark.datapipe.text_quality import winnowing_fingerprints
+
+        return (
+            winnowing_fingerprints(_docs(spark, sf_dir))
+            .select(F.col("id").alias("docid"), F.size("fingerprints").alias("n_fingerprints"))
+        )
+    q["text_winnowing"] = winnow
+
+    def ann_ivf(spark, sf_dir):  # rows-only: approximate recall by design
+        from orama_spark.datapipe.similarity import ivf_build, ivf_topk
+
+        emb = _emb(spark, sf_dir)
+        qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+        assigned, cents = ivf_build(emb, n_centroids=8)
+        return ivf_topk(assigned, cents, qv, k=10, nprobe=4).select(
+            F.col("id").alias("vec_id"), "cosine"
+        )
+    q["ann_ivf_topk"] = ann_ivf
+
+    def hybrid(spark, sf_dir):
+        from orama_spark.query.vector import cosine_sim, hybrid_merge
+
+        idx = _get_index(spark, sf_dir)
+        text_scored = idx.search(term="spark merge").scored
+        emb = _emb(spark, sf_dir)
+        qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+        # float64 cosine (no f32 quantization) so the DuckDB oracle's
+        # list_cosine_similarity reproduces the values
+        cos = (
+            F.aggregate(
+                F.zip_with("embedding", "qe", lambda x, y: x * y),
+                F.lit(0.0), lambda a, x: a + x,
+            )
+            / (
+                F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x))
+                * F.sqrt(F.aggregate("qe", F.lit(0.0), lambda a, x: a + x * x))
+            )
+        )
+        vec_scored = (
+            emb.crossJoin(F.broadcast(qv))
+            .select(F.col("vec_id").alias("docid"), cos.alias("score"))
+            .where(F.col("score") >= 0.0)
+        )
+        merged = hybrid_merge(text_scored, vec_scored)
+        return (
+            merged.orderBy(F.desc("score"), F.asc("docid"))
+            .limit(10)
+            .select("docid", F.round("score", 6).alias("score"))
+        )
+    q["hybrid_topk"] = hybrid
+
     return q
 
 
@@ -417,6 +530,148 @@ FROM tok GROUP BY doc_id
 SELECT doc_id AS docid,
        md5(array_to_string(list_sort(list(term)), ' ')) AS fingerprint
 FROM tok GROUP BY doc_id
+"""
+    )
+
+    # ---- datapipe oracles ----
+    sql["dedup_ngram_jaccard"] = r"""
+WITH tk AS (
+  SELECT doc_id, string_split(regexp_replace(trim(text), '\s+', ' '), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(toks)), i -> array_to_string(list_slice(toks, i, i+1), ' '))
+  )) AS shingle
+  FROM tk WHERE len(toks) >= 2
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+  SELECT id_a, id_b, shared / (sa.sz + sb.sz - shared) AS j
+  FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+) WHERE j >= 0.5
+"""
+
+    sql["text_quality_score"] = r"""
+WITH f AS (
+  SELECT doc_id AS docid,
+         length(text) AS n_chars,
+         CASE WHEN length(regexp_replace(trim(text), '\s+', ' ')) = 0 THEN []
+              ELSE string_split(regexp_replace(trim(text), '\s+', ' '), ' ') END AS toks,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+  FROM documents
+),
+g AS (
+  SELECT docid, n_chars,
+         len(toks) AS n_tok,
+         len(list_distinct(toks)) AS n_uniq,
+         len(list_filter(toks, x -> lower(x) IN
+           ('the','of','and','to','in','a','is','that','it','for','on',
+            'was','with','as','are','be','this','have','from','or','by'))) AS n_stop,
+         n_punct, n_digit
+  FROM f
+),
+h AS (
+  SELECT docid,
+         n_tok::BIGINT AS n_tokens,
+         n_stop / greatest(n_tok, 1) AS stopword_ratio,
+         n_uniq / greatest(n_tok, 1) AS type_token_ratio,
+         (n_chars - (n_tok - 1)) / greatest(n_tok, 1) AS mean_word_len,
+         n_punct / greatest(n_chars, 1) AS punct_ratio,
+         n_digit / greatest(n_chars, 1) AS digit_ratio
+  FROM g
+)
+SELECT docid,
+       round(0.3 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+           + 0.2 * (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12 THEN 1.0 ELSE 0.0 END)
+           + 0.2 * (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.0 END)
+           + 0.3 * greatest(0.0, 1.0 - 2 * punct_ratio - 2 * digit_ratio), 6) AS quality,
+       n_tokens,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(type_token_ratio, 6) AS type_token_ratio,
+       round(mean_word_len, 6) AS mean_word_len
+FROM h
+"""
+
+    _markers = {
+        "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
+        "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+        "fr": ["le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"],
+        "es": ["el", "la", "los", "las", "es", "en", "que", "por", "con", "una"],
+        "it": ["il", "la", "che", "di", "è", "per", "con", "non", "una", "sono"],
+    }
+    rate_rows = " UNION ALL ".join(
+        "SELECT docid, '{lang}' AS lang, len(list_filter(toks, x -> x IN ({lst})))"
+        " / greatest(len(toks), 1) AS rate FROM tk".format(
+            lang=lang, lst=", ".join(f"'{w}'" for w in words)
+        )
+        for lang, words in _markers.items()
+    )
+    sql["text_lang_id"] = rf"""
+WITH tk AS (
+  SELECT doc_id AS docid,
+         CASE WHEN length(regexp_replace(trim(text), '\s+', ' ')) = 0 THEN []
+              ELSE list_transform(
+                string_split(regexp_replace(trim(text), '\s+', ' '), ' '), lower)
+         END AS toks
+  FROM documents
+),
+rates AS ({rate_rows}),
+best AS (
+  SELECT docid, lang, rate,
+         row_number() OVER (PARTITION BY docid ORDER BY rate DESC, lang DESC) AS rn
+  FROM rates
+)
+SELECT docid,
+       CASE WHEN rate > 0 THEN lang ELSE 'und' END AS lang_pred,
+       round(rate, 6) AS lang_conf
+FROM best WHERE rn = 1
+"""
+
+    sql["text_token_stats"] = r"""
+WITH tk AS (
+  SELECT doc_id AS docid,
+         CASE WHEN length(regexp_replace(trim(text), '\s+', ' ')) = 0 THEN []
+              ELSE string_split(regexp_replace(trim(text), '\s+', ' '), ' ') END AS toks
+  FROM documents
+)
+SELECT docid,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_unique_tokens,
+       round(list_sum(list_transform(toks, x -> length(x))) * 1.0
+             / greatest(len(toks), 1), 4) AS mean_token_len,
+       coalesce(list_max(list_transform(toks, x -> length(x))), 0) AS max_token_len
+FROM tk
+"""
+
+    sql["hybrid_topk"] = (
+        _sql_prologue()
+        + _sql_matches(PREFIX_COND, _tokens("spark merge"))
+        + """
+, vec AS (
+  SELECT e.vec_id AS docid,
+         list_cosine_similarity(e.embedding, q.qe) AS vs
+  FROM embeddings e CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+  WHERE list_cosine_similarity(e.embedding, q.qe) >= 0.0
+),
+tmax AS (SELECT max(score) AS m FROM scored),
+vmax AS (SELECT max(vs) AS m FROM vec),
+merged AS (
+  SELECT coalesce(s.docid, v.docid) AS docid,
+         coalesce(s.score / t.m, 0) * 0.5 + coalesce(v.vs / w.m, 0) * 0.5 AS score
+  FROM scored s FULL OUTER JOIN vec v ON s.docid = v.docid
+  CROSS JOIN tmax t CROSS JOIN vmax w
+)
+SELECT docid, round(score, 6) AS score
+FROM merged
+ORDER BY merged.score DESC, docid ASC
+LIMIT 10
 """
     )
     return sql

@@ -35,6 +35,7 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "48g")
+        .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.files.openCostInBytes", "262144")
         .config("spark.ui.enabled", "false")
@@ -72,7 +73,7 @@ def main() -> None:
         tokenizer=TokenizerConfig.full(),
         docid_col="doc_id",
     )
-    web_dir = "/tmp/orama_spark_bench_webidx"
+    web_dir = "/dev/shm/orama_spark_bench_webidx"
     shutil.rmtree(web_dir, ignore_errors=True)
     t0 = time.time()
     web = corpus_df(spark, SYNTH_DOCS, partitions=CPUS * 2).select(

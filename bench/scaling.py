@@ -68,6 +68,7 @@ def run_level(cores: int) -> dict:
         .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.files.openCostInBytes", "262144")
         .config("spark.driver.memory", "24g")
+        .config("spark.local.dir", "/dev/shm/spark-local")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -78,7 +79,7 @@ def run_level(cores: int) -> dict:
         tokenizer=TokenizerConfig.full(),
         docid_col="doc_id",
     )
-    out = f"/tmp/orama_scaling_idx_{cores}"
+    out = f"/dev/shm/orama_scaling_idx_{cores}"
     shutil.rmtree(out, ignore_errors=True)
 
     # same input at both levels: same seed/doc count; partition count

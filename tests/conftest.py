@@ -18,6 +18,7 @@ def spark():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        .config("spark.local.dir", "/dev/shm/spark-local")
         .getOrCreate()
     )
     yield spark
