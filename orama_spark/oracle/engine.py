@@ -219,6 +219,7 @@ class OramaOracle:
         sort_by: Optional[dict] = None,
         distinct_on: Optional[str] = None,
         preflight: bool = False,
+        pinning=None,
     ) -> dict:
         """Port of fullTextSearch (methods/search-fulltext.ts:23-252)."""
         boost = boost or {}
@@ -253,6 +254,14 @@ class OramaOracle:
             scored = self._sort_by(scored, sort_by)
         else:
             scored.sort(key=lambda t: (-t[1], t[0]))
+
+        # pinning after sorting, before pagination (search-fulltext.ts:193)
+        if pinning is not None:
+            from ..query.pinning import apply_pinning_rules
+
+            scored = apply_pinning_rules(
+                pinning, scored, term, existing_docids=set(self.docs)
+            )
 
         result: dict[str, Any] = {"count": len(scored)}
 

@@ -98,6 +98,55 @@ class SearchResult:
     def hits(self) -> list[dict]:
         return [r.asDict(recursive=True) for r in self.hits_df().collect()]
 
+    def pinned_page(self, store, term: Optional[str]) -> list[tuple]:
+        """Ranked page with pinning rules applied (pinning splices docs
+        into fixed positions BEFORE pagination, search-fulltext.ts:193).
+
+        Driver-side by design: pinning manipulates the ranked page list.
+        We collect the top offset+limit+|pinned| unpinned rows, resolve
+        each promoted doc's true state (in-results score vs exists-in-
+        corpus) with two tiny lookups against the full scored/docs
+        DataFrames, then splice exactly as pinning-manager.ts:13-139."""
+        from .pinning import apply_pinning_rules
+
+        rules = store.matching_rules(term)
+        promoted = {p[0] for r in rules for p in r.promote}
+        need = self.offset + self.limit + len(promoted)
+        top = [
+            (r["docid"], r["score"])
+            for r in self.scored.orderBy(F.desc("score"), F.asc("docid"))
+            .limit(need)
+            .collect()
+        ]
+        if promoted:
+            # promoted docs ranked below the collected slice still count
+            # as "in results" with their real score (manager.ts:79-83)
+            in_scored = {
+                r["docid"]: r["score"]
+                for r in self.scored.where(
+                    F.col("docid").isin(list(promoted))
+                ).collect()
+            }
+            top_ids = {i for i, _ in top}
+            extras = [
+                (i, s) for i, s in in_scored.items() if i not in top_ids
+            ]
+            docid = self.index.config.docid_col
+            existing = {
+                r[0]
+                for r in self.index.docs.where(
+                    F.col(docid).isin(list(promoted))
+                )
+                .select(docid)
+                .collect()
+            }
+            existing |= {i for i, _ in top} | set(in_scored)
+        else:
+            extras = []
+            existing = None
+        final = apply_pinning_rules(store, top + extras, term, existing_docids=existing)
+        return final[self.offset : self.offset + self.limit]
+
 
 class SearchIndex:
     """A loaded index: docs + postings + dictionary + stats."""
