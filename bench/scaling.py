@@ -139,9 +139,10 @@ def main() -> None:
     # alternate legs, take per-level MIN: the sandbox host shows bursty
     # vCPU steal; min-of-reps is the least-contended estimate of each
     # level's true cost (identical deterministic work every rep)
-    runs: dict[int, list[dict]] = {8: [], 32: []}
+    levels = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "8,32").split(",")]
+    runs: dict[int, list[dict]] = {c: [] for c in levels}
     for _ in range(REPS):
-        for cores in (8, 32):
+        for cores in levels:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--level", str(cores)],
                 capture_output=True, text=True, cwd=REPO,
@@ -151,22 +152,23 @@ def main() -> None:
             runs[cores].append(rec)
             print(f"local[{cores}]: {rec}", file=sys.stderr)
 
+    lo, hi = levels[0], levels[-1]
     results = {
         c: min(rs, key=lambda r: r["t_build_sec"] + r["t_query_batch_sec"])
         for c, rs in runs.items()
     }
-    r8, r32 = results[8], results[32]
-    t8b = min(r["t_build_sec"] for r in runs[8])
-    t32b = min(r["t_build_sec"] for r in runs[32])
-    t8q = min(r["t_query_batch_sec"] for r in runs[8])
-    t32q = min(r["t_query_batch_sec"] for r in runs[32])
+    r8, r32 = results[lo], results[hi]
+    t8b = min(r["t_build_sec"] for r in runs[lo])
+    t32b = min(r["t_build_sec"] for r in runs[hi])
+    t8q = min(r["t_query_batch_sec"] for r in runs[lo])
+    t32q = min(r["t_query_batch_sec"] for r in runs[hi])
     eff_build = (t8b / t32b) / 4
     eff_query = (t8q / t32q) / 4
     r8 = {**r8, "t_build_sec": t8b, "t_query_batch_sec": t8q,
           "build_docs_per_sec": round(N_DOCS / t8b, 1)}
     r32 = {**r32, "t_build_sec": t32b, "t_query_batch_sec": t32q,
            "build_docs_per_sec": round(N_DOCS / t32b, 1)}
-    results = {8: r8, 32: r32}
+    results = {lo: r8, hi: r32}
     results["all_runs"] = {str(c): rs for c, rs in runs.items()}
     import multiprocessing as _mp  # calibration
     calib_t8 = calib_t32 = None
@@ -206,7 +208,7 @@ def main() -> None:
             else ""
         ),
         "",
-        "| metric | local[8] (N) | local[32] (4N) | efficiency |",
+        f"| metric | local[{lo}] (N) | local[{hi}] (4N) | efficiency |",
         "|---|---|---|---|",
         f"| index build wall (s) | {r8['t_build_sec']} | {r32['t_build_sec']} | {eff_build:.3f} |",
         f"| build throughput (docs/s) | {r8['build_docs_per_sec']} | {r32['build_docs_per_sec']} | — |",

@@ -40,6 +40,12 @@ from .manifest import BuildManifest
 from .tokenize import tokens_udf
 
 
+def _tok_col(field: str) -> str:
+    """Internal token-column alias; dots in nested paths (meta.tag) must
+    not look like struct accessors in column references."""
+    return "__tok_" + field.replace(".", "__")
+
+
 def _config_fingerprint(config: IndexConfig, extra: str = "") -> str:
     cfg = json.dumps(
         {
@@ -124,7 +130,7 @@ class IndexBuilder:
         def _tokens():
             tok_cols = [
                 tokens_udf(cfg.tokenizer, f_)(F.col(f_).cast("string")).alias(
-                    f"__tok_{f_}"
+                    _tok_col(f_)
                 )
                 for f_ in cfg.searchable_fields
             ]
@@ -145,7 +151,7 @@ class IndexBuilder:
         def _field_postings(f_: str) -> DataFrame:
             t = tokenized.select(
                 "docid",
-                F.col(f"__tok_{f_}").alias("toks"),
+                F.col(_tok_col(f_)).alias("toks"),
             ).where(F.col("toks").isNotNull())
             base = t.select(
                 "docid",
@@ -192,8 +198,8 @@ class IndexBuilder:
                 tokenized.select(
                     "docid",
                     F.lit(f_).alias("field"),
-                    F.size(f"__tok_{f_}").alias("field_len"),
-                ).where(F.col(f"__tok_{f_}").isNotNull())
+                    F.size(_tok_col(f_)).alias("field_len"),
+                ).where(F.col(_tok_col(f_)).isNotNull())
                 for f_ in cfg.searchable_fields
             ]
             dm = metas[0]

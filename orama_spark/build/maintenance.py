@@ -35,6 +35,12 @@ from .indexer import IndexBuilder
 from .tokenize import tokens_udf
 
 
+def _tok_col(field: str) -> str:
+    """Internal token-column alias; dots in nested paths (meta.tag) must
+    not look like struct accessors in column references."""
+    return "__tok_" + field.replace(".", "__")
+
+
 def _stats_path(index_dir: str) -> str:
     return os.path.join(index_dir, "stats.json")
 
@@ -144,7 +150,7 @@ def insert_documents(
     new_docs.write.mode("append").parquet(docs_path)
 
     tok_cols = [
-        tokens_udf(config.tokenizer, f_)(F.col(f_).cast("string")).alias(f"__tok_{f_}")
+        tokens_udf(config.tokenizer, f_)(F.col(f_).cast("string")).alias(_tok_col(f_))
         for f_ in config.searchable_fields
     ]
     tokenized = new_docs.select(F.col(docid).alias("docid"), *tok_cols).persist()
@@ -153,7 +159,7 @@ def insert_documents(
     parts = []
     metas = []
     for f_ in config.searchable_fields:
-        t = tokenized.select("docid", F.col(f"__tok_{f_}").alias("toks")).where(
+        t = tokenized.select("docid", F.col(_tok_col(f_)).alias("toks")).where(
             F.col("toks").isNotNull()
         )
         base = t.select(
@@ -170,8 +176,8 @@ def insert_documents(
         )
         metas.append(
             tokenized.select(
-                "docid", F.lit(f_).alias("field"), F.size(f"__tok_{f_}").alias("field_len")
-            ).where(F.col(f"__tok_{f_}").isNotNull())
+                "docid", F.lit(f_).alias("field"), F.size(_tok_col(f_)).alias("field_len")
+            ).where(F.col(_tok_col(f_)).isNotNull())
         )
     new_postings = parts[0]
     for p in parts[1:]:

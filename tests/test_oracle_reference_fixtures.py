@@ -144,6 +144,34 @@ class TestBoosting:
             db.search(term="computer", boost={"title": 0})
 
 
+class TestFacetsReference:
+    def test_nested_schema_facets(self):
+        # facets.test.ts:5-90 (verbatim corpus + expectations)
+        db = OramaOracle(
+            {
+                "author": "string",
+                "quote": "string",
+                "meta": {"tag": "string", "isFavorite": "boolean"},
+            }
+        )
+        db.insert({"author": "Mahatma Gandhi", "quote": "Be the change you wish to see in the world", "meta": {"tag": "inspirational", "isFavorite": True}})
+        db.insert({"author": "Thomas A. Edison", "quote": "I have not failed. I've just found 10,000 ways that won't work.", "meta": {"tag": "inspirational", "isFavorite": True}})
+        db.insert({"author": "Confucius", "quote": "It does not matter how slowly you go as long as you do not stop.", "meta": {"tag": "inspirational", "isFavorite": False}})
+        db.insert({"author": "Helen Keller", "quote": "The best and most beautiful things in the world cannot be seen or even touched - they must be felt with the heart.", "meta": {"tag": "love", "isFavorite": True}})
+        db.insert({"author": "Steve Jobs", "quote": "Your time is limited, so don't waste it living someone else's life.", "meta": {"tag": "inspirational", "isFavorite": False}})
+        db.insert({"author": "Steve Jobs", "quote": "The only way to do great work is to love what you do.", "meta": {"tag": "inspirational", "isFavorite": False}})
+        r = db.search(
+            term="work time",
+            facets={"meta.isFavorite": {}, "meta.tag": {}, "author": {}},
+        )
+        assert r["facets"]["meta.isFavorite"]["count"] == 2
+        assert r["facets"]["meta.isFavorite"]["values"] == {"true": 1, "false": 2}
+        assert r["facets"]["meta.tag"]["count"] == 1
+        assert r["facets"]["meta.tag"]["values"] == {"inspirational": 3}
+        assert r["facets"]["author"]["count"] == 2
+        assert r["facets"]["author"]["values"] == {"Steve Jobs": 2, "Thomas A. Edison": 1}
+
+
 class TestSearchBasics:
     def test_empty_term_returns_all_docs_score_zero(self):
         # search.test.ts:9-31 — empty term returns all docs with score 0
