@@ -314,8 +314,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def minhash_pairs(spark, sf_dir):  # rows-only: Spark xxhash64 inside
         from orama_spark.datapipe.dedup import minhash_lsh_pairs
 
+        # word-salad corpus from a tiny vocab: long shingles + a high
+        # threshold keep the near-dup set meaningful (and bounded)
         return minhash_lsh_pairs(
-            _docs(spark, sf_dir), threshold=0.5
+            _docs(spark, sf_dir), threshold=0.9, shingle_k=9
         ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
     q["dedup_minhash_lsh"] = minhash_pairs
 
@@ -618,7 +620,8 @@ WITH tk AS (
   SELECT doc_id AS docid,
          CASE WHEN length(regexp_replace(trim(text), '\s+', ' ')) = 0 THEN []
               ELSE list_transform(
-                string_split(regexp_replace(trim(text), '\s+', ' '), ' '), lower)
+                string_split(regexp_replace(trim(text), '\s+', ' '), ' '),
+                x -> lower(x))
          END AS toks
   FROM documents
 ),

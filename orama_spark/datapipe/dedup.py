@@ -25,6 +25,7 @@ the standard guard against quadratic blowup on 100 TB corpora.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 # Mersenne prime 2^61-1 keeps (a*x+b) mod p in int64 without overflow
@@ -156,25 +157,42 @@ def minhash_signatures(
     n_hashes: int = 64,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """(id, sig: array<bigint>[n_hashes]) MinHash signatures, all JVM:
-    xxhash64(shingle) folded to 32 bits, then min((a*x+b) mod p) per
-    hash function via transform + array_min."""
+    """(id, sig: array<bigint>[n_hashes]) MinHash signatures.
+
+    Shingling + xxhash64 stay JVM-side (one transform); the n_hashes
+    min((a*x+b) mod p) reductions run as ONE Arrow-vectorized kernel
+    (numpy outer product per batch) — n_hashes separate higher-order
+    expressions would blow past the codegen limits and fall back to
+    interpreted evaluation, ~100x slower."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    coeffs = _minhash_coeffs(n_hashes)
+    A = [a for a, _ in coeffs]
+    B = [b for _, b in coeffs]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(hashes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        a = np.array(A, dtype=np.uint64)[:, None]
+        b = np.array(B, dtype=np.uint64)[:, None]
+        p = np.uint64(_P)
+        sentinel = [int(_P)] * len(A)
+
+        def one(arr):
+            if arr is None or len(arr) == 0:
+                return sentinel
+            # x < 2^32 and a < 2^31 so a*x + b < 2^63: exact in uint64
+            x = np.asarray(arr, dtype=np.uint64)[None, :]
+            return ((a * x + b) % p).min(axis=1).astype(np.int64).tolist()
+
+        return hashes.map(one)
+
     sh = F.transform(
         char_shingles(F.col(text_col), shingle_k),
         lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK32)),
     )
-    sig_cols = []
-    for a, b in _minhash_coeffs(n_hashes):
-        sig_cols.append(
-            # empty shingle set (text shorter than k) -> sentinel _P
-            F.coalesce(
-                F.array_min(
-                    F.transform(sh, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_P))
-                ),
-                F.lit(_P),
-            )
-        )
-    return docs.select(F.col(id_col).alias("id"), F.array(*sig_cols).alias("sig"))
+    return docs.select(F.col(id_col).alias("id"), _sig(sh).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -223,24 +241,26 @@ def minhash_lsh_pairs(
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
-    cand = (
+    # compute the signature-agreement estimate BEFORE deduplicating the
+    # per-band candidates: the dedupe shuffle then moves 3 scalars per
+    # pair instead of two 64-element arrays (the arrays would dominate
+    # shuffle volume ~100x)
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda z: z,
+        )
+    ) / F.lit(float(n_hashes))
+    return (
         a.join(b, ["band", "bh"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            est.alias("est_jaccard"),
         )
+        .where(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
-    )
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z
-        )
-    ) / F.lit(float(n_hashes))
-    return cand.select("id_a", "id_b", est.alias("est_jaccard")).where(
-        F.col("est_jaccard") >= threshold
     )
 
 

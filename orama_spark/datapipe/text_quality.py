@@ -5,6 +5,7 @@ whole-stage-codegen JVM math, no UDFs — so they pipeline into any scan.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..kernel.stopwords_en import STOPWORDS_EN
@@ -130,6 +131,8 @@ def winnowing_fingerprints(
     (Schleimer et al., SIGMOD'03): k-gram hashes; keep the min hash of
     every ``window`` consecutive hashes. Pure expressions: transform to
     k-gram hashes, then transform over window starts + array_min."""
+    from pyspark.sql.types import ArrayType, LongType
+
     t = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     n_grams = F.length(t) - F.lit(k - 1)
     hashes = F.when(
@@ -138,16 +141,21 @@ def winnowing_fingerprints(
             F.sequence(F.lit(1), n_grams), lambda i: F.xxhash64(t.substr(i, F.lit(k)))
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    n_windows = F.size(hashes) - F.lit(window - 1)
-    fps = F.when(
-        n_windows >= 1,
-        F.array_sort(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), n_windows),
-                    lambda i: F.array_min(F.slice(hashes, i, window)),
-                )
-            )
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    return docs.select(F.col(id_col).alias("id"), fps.alias("fingerprints"))
+
+    # sliding-window minimum as ONE Arrow kernel (numpy stride trick):
+    # per-window slice+array_min higher-order expressions hit the codegen
+    # fallback and evaluate interpreted, ~100x slower
+    @F.pandas_udf(ArrayType(LongType()))
+    def _winnow(hs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def one(arr):
+            if arr is None or len(arr) < window:
+                return []
+            x = np.asarray(arr, dtype=np.int64)
+            sw = np.lib.stride_tricks.sliding_window_view(x, window)
+            return np.unique(sw.min(axis=1)).tolist()  # sorted distinct
+
+        return hs.map(one)
+
+    return docs.select(F.col(id_col).alias("id"), _winnow(hashes).alias("fingerprints"))
