@@ -221,27 +221,21 @@ class SearchIndex:
                    dictionary=dictionary, stats=stats)
 
     # -------------------------------------------------------- expansion
-    def _expansion(
-        self,
-        tokens: list[str],
-        props: list[str],
-        exact: bool,
-        tolerance: int,
-    ) -> tuple[DataFrame, Optional[list], set[str]]:
-        """Match query tokens to dictionary words.
-
-        Returns (expansion_df[field,qtoken,term,df], collected_rows or
-        None, tokens_found). Exact/prefix/fuzzy semantics per
-        trees/radix.ts:240-303 and find_words in the oracle."""
+    def _expansion_df(
+        self, tokens: list[str], props: list[str], exact: bool, tolerance: int
+    ) -> DataFrame:
+        """Expansion plan: (field, qtoken, term, df) per matched word.
+        Exact/prefix/fuzzy semantics per trees/radix.ts:240-303 and
+        find_words in the oracle. Pure plan — no driver action."""
         d = self.dictionary
         parts = []
         for tok in tokens:
             base = d.where(F.col("field").isin(props))
             if tok == "" and not exact:
                 cond = F.lit(True)  # empty token matches the whole trie
-            elif exact or tolerance == 0 and exact:
+            elif exact:
                 cond = F.col("term") == tok
-            elif tolerance and not exact:
+            elif tolerance:
                 band = (F.length("term") >= F.lit(len(tok) - tolerance)) & (
                     F.length("term") <= F.lit(len(tok) + tolerance)
                 )
@@ -257,17 +251,23 @@ class SearchIndex:
         exp = parts[0]
         for p in parts[1:]:
             exp = exp.unionByName(p)
+        return exp
 
+    def _postings_pushdown(
+        self, tokens: list[str], props: list[str], exact: bool
+    ) -> DataFrame:
+        """Postings scan pre-filtered with LITERAL predicates so parquet
+        min/max prunes row-groups on the sorted term column — the reason
+        exact/prefix queries never shuffle or fully scan postings."""
+        p = self.postings.where(F.col("field").isin(props))
         if any(t == "" for t in tokens):
-            # whole-dictionary expansion: never collect
-            found = {t: True for t in tokens}
-            return exp, None, set(found)
-
-        rows = exp.limit(EXPANSION_COLLECT_CAP + 1).collect()
-        if len(rows) > EXPANSION_COLLECT_CAP:
-            found_rows = exp.select("qtoken").distinct().collect()
-            return exp, None, {r["qtoken"] for r in found_rows}
-        return exp, rows, {r["qtoken"] for r in rows}
+            return p  # whole-trie expansion: all terms participate
+        if exact:
+            return p.where(F.col("term").isin(tokens))
+        cond = F.col("term").startswith(tokens[0])
+        for t in tokens[1:]:
+            cond = cond | F.col("term").startswith(t)
+        return p.where(cond)
 
     # ------------------------------------------------------------ search
     def search(
@@ -341,27 +341,47 @@ class SearchIndex:
                 return self._empty_scored()
             tokens = [""]
 
-        exp, rows, tokens_found = self._expansion(tokens, props, exact, tolerance)
-        if rows is not None and not rows:
-            return self._empty_scored()
-        # threshold=0 multi-token early exit: every token must match
-        # somewhere (components/index.ts:554-560)
-        if threshold == 0 and keywords_count > 1:
-            if any(t not in tokens_found for t in tokens):
-                return self._empty_scored()
+        exp = self._expansion_df(tokens, props, exact, tolerance)
+        fuzzy = bool(tolerance) and not exact and all(t != "" for t in tokens)
 
-        p = self.postings.where(F.col("field").isin(props))
-        if rows is not None:
-            terms_literal = list({r["term"] for r in rows})
-            # literal IN-list -> parquet row-group pruning on sorted term
-            p = p.where(F.col("term").isin(terms_literal))
-            exp_df = self.spark.createDataFrame(
-                [(r["field"], r["qtoken"], r["term"], r["df"]) for r in rows],
-                schema="field string, qtoken string, term string, df long",
-            )
-            joined = p.join(F.broadcast(exp_df), ["field", "term"])
-        else:
+        if fuzzy:
+            # fuzzy is the one path that must materialize the expansion:
+            # the matched-word set is needed as a literal IN-list to keep
+            # the postings scan row-group-pruned (a fuzzy predicate can't
+            # push into parquet)
+            rows = exp.limit(EXPANSION_COLLECT_CAP + 1).collect()
+            if not rows:
+                return self._empty_scored()
+            tokens_found = {r["qtoken"] for r in rows}
+            if threshold == 0 and keywords_count > 1:
+                if any(t not in tokens_found for t in tokens):
+                    return self._empty_scored()
+            p = self.postings.where(F.col("field").isin(props))
+            if len(rows) <= EXPANSION_COLLECT_CAP:
+                p = p.where(F.col("term").isin(list({r["term"] for r in rows})))
+                exp = F.broadcast(
+                    self.spark.createDataFrame(
+                        [(r["field"], r["qtoken"], r["term"], r["df"]) for r in rows],
+                        schema="field string, qtoken string, term string, df long",
+                    )
+                )
             joined = p.join(exp, ["field", "term"])
+        else:
+            # exact / prefix / whole-trie: ZERO driver actions — literal
+            # pushdown on postings + a join with the pruned dictionary
+            # scan (AQE broadcasts the small expansion side at runtime)
+            if threshold == 0 and keywords_count > 1:
+                # every token must match somewhere (index.ts:554-560):
+                # one tiny action against the pruned dictionary scan
+                found = {
+                    r["qtoken"]
+                    for r in exp.select("qtoken").distinct().collect()
+                }
+                if any(t not in found for t in tokens):
+                    return self._empty_scored()
+            joined = self._postings_pushdown(tokens, props, exact).join(
+                exp, ["field", "term"]
+            )
 
         score_row = self._bm25_col(props, boost)
         per_field = (

@@ -1,0 +1,81 @@
+"""Physical-plan assertions: the properties that make the engine hold at
+scale must be visible in `explain` output — filter pushdown into parquet
+scans, column pruning, no postings shuffle on the query path."""
+
+import numpy as np
+import pytest
+
+from orama_spark.build.indexer import IndexBuilder
+from orama_spark.config import IndexConfig
+from orama_spark.kernel import TokenizerConfig
+from orama_spark.query.engine import SearchIndex
+from orama_spark.sources.webpages import CorpusGenerator
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("planidx"))
+    g = CorpusGenerator(seed=42)
+    cols = g.batch(np.arange(300, dtype=np.int64))
+    rows = [
+        {"docid": i, "text": cols["text"][i], "lang": cols["lang"][i]}
+        for i in range(300)
+    ]
+    cfg = IndexConfig(
+        schema={"text": "string", "lang": "enum"},
+        tokenizer=TokenizerConfig.full(),
+    )
+    IndexBuilder(cfg, postings_partitions=2).build(
+        spark.createDataFrame(rows), out, input_id="pl"
+    )
+    return SearchIndex.load(spark, out, cfg)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_exact_term_filter_pushed_to_postings_scan(idx):
+    plan = _plan(idx.search(term="fox", exact=True).scored)
+    scans = [l for l in plan.splitlines() if "PushedFilters" in l and "postings" in plan]
+    assert any("term" in l and ("In(term" in l or "EqualTo(term" in l) for l in scans), plan
+
+
+def test_prefix_filter_pushed_as_startswith(idx):
+    plan = _plan(idx.search(term="optimiz").scored)
+    assert "StringStartsWith(term,optim" in plan, plan
+
+
+def test_postings_scan_prunes_columns(idx):
+    # scoring needs (field, term, docid, tf, field_len) — never the full
+    # docs row; the docs table must not appear in a pure scoring plan
+    plan = _plan(idx.search(term="fox").scored)
+    assert "ReadSchema" in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    # the raw document text column must never be read by scoring
+    # ("text" also appears as a literal field VALUE, so match the
+    # schema entry, not the bare word)
+    assert all("text:string" not in l for l in read), read
+
+
+def test_where_filter_pushed_to_docs_scan(idx):
+    # plain-column filter compiles to one predicate on the docs scan
+    sr = idx.search(term="fox", where={"lang": {"eq": "en"}})
+    plan = _plan(sr.scored)
+    assert "EqualTo(lang,en)" in plan, plan
+
+
+def test_topk_uses_take_ordered(idx):
+    plan = _plan(idx.search(term="fox").top_df())
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_no_exchange_on_postings_before_join(idx):
+    # the postings side of the query join must not be re-partitioned:
+    # the only exchanges allowed in a threshold-1 scoring plan are the
+    # per-doc aggregations AFTER the join
+    df = idx.search(term="fox dog").scored
+    plan = _plan(df)
+    # expansion side may broadcast; postings side must never SORT or
+    # range-partition at query time
+    assert "rangepartitioning" not in plan.lower(), plan
