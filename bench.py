@@ -109,6 +109,25 @@ def main() -> None:
         widx.search(**kw).top_df().collect()
         timings[name] = round(time.time() - t0, 3)
 
+    # --- compressed posting blocks + block-max WAND (the scale path)
+    from pyspark.sql import functions as F
+
+    from orama_spark.query.wand import BlockIndex
+
+    t0 = time.time()
+    bidx = BlockIndex.build(spark, web_dir, web_cfg)
+    timings["blocks_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    bidx.wand_topk("search engine index", k=10).collect()
+    timings["web_q_wand"] = round(time.time() - t0, 3)
+    bstats = bidx.blocks.agg(
+        F.sum("n").alias("postings"),
+        (F.sum(F.length("docid_deltas")) + F.sum(F.length("field_lens"))).alias("bytes"),
+    ).collect()[0]
+    extras["block_bytes_per_posting"] = round(
+        bstats["bytes"] / max(bstats["postings"], 1), 2
+    )
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "index-build + BM25 query suite wall time",
