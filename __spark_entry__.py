@@ -306,7 +306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ngram_jaccard(spark, sf_dir):
         from orama_spark.datapipe.dedup import ngram_jaccard_pairs
 
-        return ngram_jaccard_pairs(_docs(spark, sf_dir), n=2, threshold=0.5).select(
+        return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.4).select(
             "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
         )
     q["dedup_ngram_jaccard"] = ngram_jaccard
@@ -543,9 +543,9 @@ WITH tk AS (
 ),
 sh AS (
   SELECT doc_id, unnest(list_distinct(
-    list_transform(range(1, len(toks)), i -> array_to_string(list_slice(toks, i, i+1), ' '))
+    list_transform(range(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i+2), ' '))
   )) AS shingle
-  FROM tk WHERE len(toks) >= 2
+  FROM tk WHERE len(toks) >= 3
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 shared AS (
@@ -556,7 +556,7 @@ shared AS (
 SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
   SELECT id_a, id_b, shared / (sa.sz + sb.sz - shared) AS j
   FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-) WHERE j >= 0.5
+) WHERE j >= 0.4
 """
 
     sql["text_quality_score"] = r"""
