@@ -54,7 +54,7 @@ def main() -> None:
 
     # --- index build over the sf documents table (fresh, no resume)
     entry_idx_dir = os.path.join(
-        "/tmp/orama_spark_entry_idx", os.path.basename(os.path.normpath(SF_DIR))
+        "/dev/shm/orama_spark_entry_idx", os.path.basename(os.path.normpath(SF_DIR))
     )
     shutil.rmtree(entry_idx_dir, ignore_errors=True)
     t0 = time.time()
