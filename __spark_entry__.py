@@ -359,12 +359,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_token_stats"] = tokstats
 
-    def winnow(spark, sf_dir):  # rows-only: Spark xxhash64 inside
+    def winnow(spark, sf_dir):
         from orama_spark.datapipe.text_quality import winnowing_fingerprints
 
-        return (
-            winnowing_fingerprints(_docs(spark, sf_dir))
-            .select(F.col("id").alias("docid"), F.size("fingerprints").alias("n_fingerprints"))
+        return winnowing_fingerprints(_docs(spark, sf_dir)).select(
+            F.col("id").alias("docid"),
+            F.size("fingerprints").alias("n_fingerprints"),
+            F.array_min("fingerprints").alias("fp_min"),
+            F.array_max("fingerprints").alias("fp_max"),
         )
     q["text_winnowing"] = winnow
 
@@ -562,11 +564,11 @@ SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
     sql["text_quality_score"] = r"""
 WITH f AS (
   SELECT doc_id AS docid,
-         length(text) AS n_chars,
-         CASE WHEN length(regexp_replace(trim(text), '\s+', ' ')) = 0 THEN []
-              ELSE string_split(regexp_replace(trim(text), '\s+', ' '), ' ') END AS toks,
-         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
-         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+         length(coalesce(text, '')) AS n_chars,
+         CASE WHEN length(regexp_replace(trim(coalesce(text, '')), '\s+', ' ')) = 0 THEN []
+              ELSE string_split(regexp_replace(trim(coalesce(text, '')), '\s+', ' '), ' ') END AS toks,
+         length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[^\w\s]', '', 'g')) AS n_punct,
+         length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[0-9]', '', 'g')) AS n_digit
   FROM documents
 ),
 g AS (
@@ -635,6 +637,28 @@ SELECT docid,
        CASE WHEN rate > 0 THEN lang ELSE 'und' END AS lang_pred,
        round(rate, 6) AS lang_conf
 FROM best WHERE rn = 1
+"""
+
+    # winnowing: same portable FNV-1a k-gram hash (portable_hash.py) in
+    # pure DuckDB list ops — value-level oracle for the Arrow kernel
+    from orama_spark.datapipe.portable_hash import sql_kgram_hashes
+
+    _w = 4  # window
+    sql["text_winnowing"] = rf"""
+WITH c AS (
+  SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t FROM documents
+),
+h AS (SELECT doc_id, {sql_kgram_hashes('t', 5)} AS hs FROM c),
+m AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(hs) - {_w - 1}, 0) + 1),
+           w -> list_min(list_slice(hs, w, w + {_w - 1})))) AS fps
+  FROM h
+)
+SELECT doc_id AS docid, len(fps) AS n_fingerprints,
+       list_min(fps) AS fp_min, list_max(fps) AS fp_max
+FROM m
 """
 
     sql["text_token_stats"] = r"""

@@ -44,50 +44,83 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def quality_features(col: Column) -> dict[str, Column]:
-    """Deterministic quality signals on a text column (C4/Gopher-style):
-    length, word stats, stopword ratio, punctuation/digit/uppercase
-    ratios, type-token ratio."""
-    toks = ws_tokens(col)
-    n_tok = F.size(toks)
-    n_chars = F.length(col)
-    stop_lit = F.array(*[F.lit(w) for w in _EN_TOP_STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_lit, F.lower(x))))
-    n_punct = n_chars - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
-    n_digit = n_chars - F.length(F.regexp_replace(col, r"[0-9]", ""))
-    n_upper = n_chars - F.length(F.regexp_replace(col, r"[A-Z]", ""))
-    safe_tok = F.greatest(n_tok, F.lit(1)).cast("double")
-    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
-    return {
-        "n_chars": n_chars.cast("long"),
-        "n_tokens": n_tok.cast("long"),
-        "stopword_ratio": n_stop / safe_tok,
-        "punct_ratio": n_punct / safe_chars,
-        "digit_ratio": n_digit / safe_chars,
-        "upper_ratio": n_upper / safe_chars,
-        "type_token_ratio": F.size(F.array_distinct(toks)) / safe_tok,
-        "mean_word_len": (n_chars - (n_tok - 1)) / safe_tok,
-    }
+def _quality_counts_kernel():
+    """ONE Arrow pass computing every char/token count the quality score
+    needs. The previous formulation was 8 higher-order / regexp
+    expressions over the same text — higher-order funcs are not
+    codegen-able, so each column re-tokenized the text interpreted
+    (25.6 s at sf0.1). One vectorized kernel + plain arithmetic on the
+    returned struct is <2 s and ships the text through Arrow once.
+
+    Char classes are RE2-compatible ASCII (matching the DuckDB oracle):
+    \\w = [0-9A-Za-z_], \\s = [\\t\\n\\f\\r ] (no \\v), trim = spaces only.
+    """
+    import re
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ws_re = re.compile(r"[\t\n\f\r ]+")
+    punct_re = re.compile(r"[^0-9A-Za-z_\t\n\f\r ]")
+    digit_re = re.compile(r"[0-9]")
+    upper_re = re.compile(r"[A-Z]")
+    stopset = frozenset(_EN_TOP_STOPWORDS)
+
+    fields = ["n_chars", "n_tokens", "n_unique", "n_stop", "n_punct", "n_digit", "n_upper"]
+    schema = StructType([StructField(f, LongType()) for f in fields])
+
+    @F.pandas_udf(schema)
+    def _counts(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            if t is None:
+                t = ""
+            canon = ws_re.sub(" ", t.strip(" "))
+            toks = canon.split(" ") if canon else []
+            rows.append(
+                (
+                    len(t),
+                    len(toks),
+                    len(set(toks)),
+                    sum(1 for x in toks if x.lower() in stopset),
+                    len(punct_re.findall(t)),
+                    len(digit_re.findall(t)),
+                    len(upper_re.findall(t)),
+                )
+            )
+        return pd.DataFrame(rows, columns=fields)
+
+    return _counts
 
 
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, quality plus the underlying features). quality in [0,1]:
-    a fixed, documented linear blend — deterministic and SQL-replicable."""
-    f = quality_features(F.col(text_col))
-    length_ok = F.when((f["n_tokens"] >= 10) & (f["n_tokens"] <= 100000), 1.0).otherwise(0.0)
-    word_len_ok = F.when((f["mean_word_len"] >= 3) & (f["mean_word_len"] <= 12), 1.0).otherwise(0.0)
-    stop_ok = F.when(f["stopword_ratio"] >= 0.05, 1.0).otherwise(0.0)
-    not_noisy = F.greatest(F.lit(0.0), F.lit(1.0) - 2.0 * f["punct_ratio"] - 2.0 * f["digit_ratio"])
+    a fixed, documented linear blend — deterministic and SQL-replicable.
+    One Arrow kernel for the counts, codegen arithmetic for the blend."""
+    kernel = _quality_counts_kernel()
+    f = docs.select(F.col(id_col).alias("id"), kernel(F.col(text_col)).alias("f"))
+    c = f["f"]
+    safe_tok = F.greatest(c["n_tokens"], F.lit(1)).cast("double")
+    safe_chars = F.greatest(c["n_chars"], F.lit(1)).cast("double")
+    n_tokens = c["n_tokens"]
+    stopword_ratio = c["n_stop"] / safe_tok
+    type_token_ratio = c["n_unique"] / safe_tok
+    mean_word_len = (c["n_chars"] - (c["n_tokens"] - 1)) / safe_tok
+    punct_ratio = c["n_punct"] / safe_chars
+    digit_ratio = c["n_digit"] / safe_chars
+    length_ok = F.when((n_tokens >= 10) & (n_tokens <= 100000), 1.0).otherwise(0.0)
+    word_len_ok = F.when((mean_word_len >= 3) & (mean_word_len <= 12), 1.0).otherwise(0.0)
+    stop_ok = F.when(stopword_ratio >= 0.05, 1.0).otherwise(0.0)
+    not_noisy = F.greatest(F.lit(0.0), F.lit(1.0) - 2.0 * punct_ratio - 2.0 * digit_ratio)
     quality = F.round(
         0.3 * length_ok + 0.2 * word_len_ok + 0.2 * stop_ok + 0.3 * not_noisy, 6
     )
-    return docs.select(
-        F.col(id_col).alias("id"),
+    return f.select(
+        "id",
         quality.alias("quality"),
-        f["n_tokens"].alias("n_tokens"),
-        F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
-        F.round(f["type_token_ratio"], 6).alias("type_token_ratio"),
-        F.round(f["mean_word_len"], 6).alias("mean_word_len"),
+        n_tokens.alias("n_tokens"),
+        F.round(stopword_ratio, 6).alias("stopword_ratio"),
+        F.round(type_token_ratio, 6).alias("type_token_ratio"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
     )
 
 
@@ -129,33 +162,39 @@ def winnowing_fingerprints(
 ) -> DataFrame:
     """(id, fingerprints: sorted distinct array<bigint>) — winnowing
     (Schleimer et al., SIGMOD'03): k-gram hashes; keep the min hash of
-    every ``window`` consecutive hashes. Pure expressions: transform to
-    k-gram hashes, then transform over window starts + array_min."""
+    every ``window`` consecutive hashes.
+
+    Everything — canonicalization, k-gram FNV-1a hashing, the sliding
+    min — runs inside ONE Arrow kernel per batch; only the text column
+    crosses the Arrow boundary. (The round-1 formulation materialized an
+    O(n_chars) hash array JVM-side with interpreted higher-order exprs
+    and shipped it through Arrow: 141.7 s at sf0.1 vs <3 s now.) The
+    hash is the portable FNV-1a (portable_hash.py), bit-exact
+    reproducible in DuckDB SQL, so the driver query has a value-level
+    oracle.
+    """
+    import re
+
     from pyspark.sql.types import ArrayType, LongType
 
-    t = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
-    n_grams = F.length(t) - F.lit(k - 1)
-    hashes = F.when(
-        n_grams >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_grams), lambda i: F.xxhash64(t.substr(i, F.lit(k)))
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    from .portable_hash import kgram_hashes
 
-    # sliding-window minimum as ONE Arrow kernel (numpy stride trick):
-    # per-window slice+array_min higher-order expressions hit the codegen
-    # fallback and evaluate interpreted, ~100x slower
+    ws_re = re.compile(r"[\t\n\f\r ]+")
+
     @F.pandas_udf(ArrayType(LongType()))
-    def _winnow(hs: pd.Series) -> pd.Series:
+    def _winnow(texts: pd.Series) -> pd.Series:
         import numpy as np
 
-        def one(arr):
-            if arr is None or len(arr) < window:
+        def one(t):
+            if t is None:
                 return []
-            x = np.asarray(arr, dtype=np.int64)
-            sw = np.lib.stride_tricks.sliding_window_view(x, window)
+            canon = ws_re.sub(" ", t.strip(" "))
+            hs = kgram_hashes(canon, k)
+            if len(hs) < window:
+                return []
+            sw = np.lib.stride_tricks.sliding_window_view(hs, window)
             return np.unique(sw.min(axis=1)).tolist()  # sorted distinct
 
-        return hs.map(one)
+        return texts.map(one)
 
-    return docs.select(F.col(id_col).alias("id"), _winnow(hashes).alias("fingerprints"))
+    return docs.select(F.col(id_col).alias("id"), _winnow(F.col(text_col)).alias("fingerprints"))

@@ -3,7 +3,7 @@ runs each __spark_entry__.queries() entry on Spark at sf0.01 and the
 matching oracle_sql() in DuckDB, comparing row count, column names, and
 order-insensitive values.
 
-Usage: python tools/check_entry.py [sf_dir]
+Usage: python tools/check_entry.py [sf_dir] [--only q1,q2,...]
 """
 
 import math
@@ -16,7 +16,13 @@ from pyspark.sql import SparkSession
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = None
+argv = list(sys.argv[1:])
+if "--only" in argv:
+    i = argv.index("--only")
+    ONLY = set(argv[i + 1].split(","))
+    del argv[i : i + 2]
+SF_DIR = argv[0] if argv else "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -53,6 +59,8 @@ def main():
     sqls = entry_mod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if ONLY is not None and name not in ONLY:
+            continue
         try:
             sdf = fn(spark, SF_DIR)
             s_cols = sdf.columns
