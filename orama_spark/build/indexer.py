@@ -49,6 +49,7 @@ def _tok_col(field: str) -> str:
 def _config_fingerprint(config: IndexConfig, extra: str = "") -> str:
     cfg = json.dumps(
         {
+            "layout": 2,  # postings carry occ; df = sum(occ)
             "schema": config.schema,
             "language": config.tokenizer.language,
             "stemming": config.tokenizer.stemming,
@@ -163,14 +164,21 @@ class IndexBuilder:
                     F.count("*").alias("occ")
                 )
                 tf = F.col("occ") / F.col("field_len")
+                occ = F.col("occ")
             else:
                 tf = F.lit(1.0) / F.col("field_len")
+                occ = F.lit(1)
+            # occ: token occurrences behind this posting. The reference
+            # increments tokenOccurrences once per OCCURRENCE
+            # (index.ts:113-118), so with allow_duplicates df must be
+            # sum(occ), not the distinct-doc count.
             return base.select(
                 F.lit(f_).alias("field"),
                 "term",
                 "docid",
                 tf.cast("double").alias("tf"),
                 F.col("field_len").cast("int").alias("field_len"),
+                occ.cast("int").alias("occ"),
             )
 
         def _postings():
@@ -219,7 +227,7 @@ class IndexBuilder:
             (
                 spark.read.parquet(postings_path)
                 .groupBy("field", "term")
-                .agg(F.count("*").alias("df"))
+                .agg(F.sum("occ").cast("long").alias("df"))
                 .repartitionByRange(max(n_part // 8, 1), "field", "term")
                 .sortWithinPartitions("field", "term")
                 .write.mode("overwrite")

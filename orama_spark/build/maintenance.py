@@ -61,9 +61,20 @@ def remove_documents(
     """Tombstone the given docids (DataFrame with one column ``docid``).
 
     Appends tombstones + df-decrement deltas, patches stats. Returns
-    stats after removal. Idempotence: ids already tombstoned are ignored.
+    stats after removal. Idempotence: ids already tombstoned are ignored;
+    ids that never existed are ignored too (the reference remove is a
+    no-op returning false for unknown ids, methods/remove.ts), so stats
+    are only adjusted for documents that actually leave the index.
     """
     remove_ids = remove_ids.select(F.col(remove_ids.columns[0]).alias("docid")).distinct()
+    # only docs that exist: semi-join against the live docs table —
+    # without this, removing (or upserting) unknown ids would decrement
+    # docs_count and rescale avg_field_length for nothing, permanently
+    # skewing BM25
+    live = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        F.col(config.docid_col).alias("docid")
+    )
+    remove_ids = remove_ids.join(live, "docid", "left_semi")
     tomb_path = os.path.join(index_dir, "tombstones")
     if os.path.exists(tomb_path):
         existing = spark.read.parquet(tomb_path)
@@ -77,9 +88,10 @@ def remove_documents(
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
     removed_postings = postings.join(remove_ids, "docid", "left_semi")
 
-    # df decrements per (field, term) (index.ts:134-136)
+    # df decrements per (field, term) (index.ts:134-136) — one unit per
+    # token OCCURRENCE (occ > 1 under allow_duplicates)
     delta = removed_postings.groupBy("field", "term").agg(
-        (-F.count("*")).alias("ddf")
+        (-F.sum("occ")).cast("long").alias("ddf")
     )
     delta.write.mode("append").parquet(os.path.join(index_dir, "dictionary_delta"))
 
@@ -95,12 +107,17 @@ def remove_documents(
     stats = _load_stats(index_dir)
     n = stats["docs_count"]
     for field, info in stats["fields"].items():
-        s, _ = fl_sums.get(field, (0, 0))
-        denom = n - n_removed
+        s, c = fl_sums.get(field, (0, 0))
+        # per-field telescoped mean over docs-with-field: removing docs
+        # that lack the field leaves its average untouched (the reference
+        # recurrence only fires for props present on the doc,
+        # index.ts:121-132 / remove.ts)
+        dwf = info["docs_with_field"]
+        denom = dwf - c
         info["avg_field_length"] = (
-            (info["avg_field_length"] * n - s) / denom if denom > 0 else 0.0
+            (info["avg_field_length"] * dwf - s) / denom if denom > 0 else 0.0
         )
-        info["docs_with_field"] = info["docs_with_field"] - fl_sums.get(field, (0, 0))[1]
+        info["docs_with_field"] = denom
     stats["docs_count"] = n - n_removed
 
     remove_ids.write.mode("append").parquet(tomb_path)
@@ -165,13 +182,21 @@ def insert_documents(
         base = t.select(
             "docid", F.size("toks").alias("field_len"), F.explode("toks").alias("term")
         )
+        if config.tokenizer.allow_duplicates:
+            base = base.groupBy("docid", "field_len", "term").agg(
+                F.count("*").alias("occ")
+            )
+            tf, occ = F.col("occ") / F.col("field_len"), F.col("occ")
+        else:
+            tf, occ = F.lit(1.0) / F.col("field_len"), F.lit(1)
         parts.append(
             base.select(
                 F.lit(f_).alias("field"),
                 "term",
                 "docid",
-                (F.lit(1.0) / F.col("field_len")).cast("double").alias("tf"),
+                tf.cast("double").alias("tf"),
                 F.col("field_len").cast("int").alias("field_len"),
+                occ.cast("int").alias("occ"),
             )
         )
         metas.append(
@@ -191,11 +216,14 @@ def insert_documents(
         dm = dm.unionByName(m)
     dm.write.mode("append").parquet(os.path.join(index_dir, "docmeta"))
 
-    # df increments
-    delta = new_postings.groupBy("field", "term").agg(F.count("*").alias("ddf"))
+    # df increments (one per token occurrence)
+    delta = new_postings.groupBy("field", "term").agg(
+        F.sum("occ").cast("long").alias("ddf")
+    )
     delta.write.mode("append").parquet(os.path.join(index_dir, "dictionary_delta"))
 
-    # stats: telescoped running-mean extension
+    # stats: per-field telescoped running-mean extension over
+    # docs-with-field (docs lacking the field leave its average alone)
     fl_sums = {
         r["field"]: (r["s"], r["c"])
         for r in dm.groupBy("field")
@@ -206,11 +234,12 @@ def insert_documents(
     n = stats["docs_count"]
     for field, info in stats["fields"].items():
         s, c = fl_sums.get(field, (0, 0))
-        denom = n + n_new
+        dwf = info["docs_with_field"]
+        denom = dwf + c
         info["avg_field_length"] = (
-            (info["avg_field_length"] * n + s) / denom if denom > 0 else 0.0
+            (info["avg_field_length"] * dwf + s) / denom if denom > 0 else 0.0
         )
-        info["docs_with_field"] = info["docs_with_field"] + c
+        info["docs_with_field"] = denom
     stats["docs_count"] = n + n_new
     _save_stats(index_dir, stats)
     tokenized.unpersist()
@@ -264,7 +293,7 @@ def compact(spark: SparkSession, index_dir: str, config: IndexConfig) -> None:
     (
         spark.read.parquet(os.path.join(index_dir, "postings"))
         .groupBy("field", "term")
-        .agg(F.count("*").alias("df"))
+        .agg(F.sum("occ").cast("long").alias("df"))
         .sortWithinPartitions("field", "term")
         .write.mode("overwrite")
         .parquet(dict_path + ".compact")

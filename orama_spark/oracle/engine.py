@@ -139,7 +139,12 @@ class OramaOracle:
             tf = tokens.count(token) / n if n else 0.0
             freq[token] = tf
             self.token_occurrences[prop][token] = self.token_occurrences[prop].get(token, 0) + 1
-            self.terms[prop].setdefault(token, []).append(docid)
+            # radix node docs are a Set (trees/radix.ts:22): one posting
+            # per (word, doc) even when allowDuplicates keeps the token
+            # multiple times (tf/df still count occurrences above)
+            ids = self.terms[prop].setdefault(token, [])
+            if not ids or ids[-1] != docid:
+                ids.append(docid)
 
     # ----------------------------------------------------------- remove
     def remove(self, docid: int) -> None:
@@ -162,14 +167,22 @@ class OramaOracle:
                 ) / (count - 1)
             else:
                 self.avg_field_length[prop] = 0.0
-            freq = self.frequencies[prop].pop(docid, {})
-            for token in freq:
-                self.token_occurrences[prop][token] -= 1
-                ids = self.terms[prop].get(token)
-                if ids is not None and docid in ids:
-                    ids.remove(docid)
-                    if not ids:
-                        del self.terms[prop][token]
+            self.frequencies[prop].pop(docid, {})
+            # the reference re-tokenizes the stored value and decrements
+            # tokenOccurrences once per OCCURRENCE (index.ts:341-344 —
+            # the tokens array keeps duplicates under allowDuplicates)
+            value = _get_nested(doc, prop)
+            values = value if isinstance(value, list) else [value]
+            for v in values:
+                if v is None:
+                    continue
+                for token in self.tokenizer.tokenize(str(v), prop):
+                    self.token_occurrences[prop][token] -= 1
+                    ids = self.terms[prop].get(token)
+                    if ids is not None and docid in ids:
+                        ids.remove(docid)
+                        if not ids:
+                            del self.terms[prop][token]
         del self.docs[docid]
         self._insert_order.remove(docid)
         self._sorted_terms_cache.clear()
@@ -244,8 +257,12 @@ class OramaOracle:
                 scored = self._exact_post_filter(scored, term, props)
         else:
             if where is not None and where != {}:
-                ids = sorted(where_ids or set())
-                scored = [(i, 0.0) for i in ids]
+                geo = self._geo_only_scored(where)
+                if geo is not None:
+                    scored = geo
+                else:
+                    ids = sorted(where_ids or set())
+                    scored = [(i, 0.0) for i in ids]
             else:
                 scored = [(i, 0.0) for i in self._insert_order]
 
@@ -443,12 +460,96 @@ class OramaOracle:
                 ids = self._filter_enum(prop, operation, typ == "enum[]")
             elif typ in _NUMBER_TYPES:
                 ids = self._filter_number(prop, operation)
+            elif typ == "geopoint":
+                ids = {i for i, _ in self._geo_matches(prop, operation)}
             else:
                 raise ValueError(f"INVALID_FILTER_OPERATION on {prop}")
             result_sets.append(ids)
         if not result_sets:
             return set()
         return set.intersection(*result_sets)
+
+    # -------------------------------------------------------------- geo
+    def _geo_matches(self, prop: str, operation: dict) -> list[tuple[int, float]]:
+        """(docid, distance-to-center) pairs passing the geo filter —
+        port of searchByRadius/searchByPolygon (trees/bkd.ts:182-260) +
+        the components/index.ts:664-697 dispatch."""
+        from ..query.geo import (
+            convert_distance_to_meters, polygon_centroid, vincenty_py,
+        )
+
+        def haversine(lat1, lon1, lat2, lon2):
+            p = math.pi / 180
+            dlat = (lat2 - lat1) * p
+            dlon = (lon2 - lon1) * p
+            a = (
+                math.sin(dlat / 2) ** 2
+                + math.cos(lat1 * p) * math.cos(lat2 * p) * math.sin(dlon / 2) ** 2
+            )
+            return 6371e3 * 2 * math.atan2(math.sqrt(a), math.sqrt(1 - a))
+
+        if "radius" in operation:
+            op = operation["radius"]
+            center = op["coordinates"]
+            r = convert_distance_to_meters(op["value"], op.get("unit", "m"))
+            dist = vincenty_py if op.get("highPrecision") else haversine
+            inside = op.get("inside", True)
+            out = []
+            for i in self._insert_order:
+                pt = _get_nested(self.docs[i], prop)
+                if pt is None:
+                    continue
+                d = dist(pt["lat"], pt["lon"], center["lat"], center["lon"])
+                if (d <= r) if inside else (d > r):
+                    out.append((i, d))
+            return out
+        if "polygon" in operation:
+            op = operation["polygon"]
+            poly = op["coordinates"]
+            inside = op.get("inside", True)
+            centroid = polygon_centroid(poly)
+            dist = vincenty_py if op.get("highPrecision") else haversine
+
+            def in_poly(lat, lon):
+                # ray casting (trees/bkd.ts:312-330)
+                ins = False
+                n = len(poly)
+                j = n - 1
+                for k in range(n):
+                    xi, yi = poly[k]["lon"], poly[k]["lat"]
+                    xj, yj = poly[j]["lon"], poly[j]["lat"]
+                    if (yi > lat) != (yj > lat) and lon < (xj - xi) * (lat - yi) / (yj - yi) + xi:
+                        ins = not ins
+                    j = k
+                return ins
+
+            out = []
+            for i in self._insert_order:
+                pt = _get_nested(self.docs[i], prop)
+                if pt is None:
+                    continue
+                if in_poly(pt["lat"], pt["lon"]) == inside:
+                    out.append(
+                        (i, dist(pt["lat"], pt["lon"], centroid["lat"], centroid["lon"]))
+                    )
+            return out
+        raise ValueError(f"Invalid operation {operation}")
+
+    def _geo_only_scored(self, where: dict) -> Optional[list[tuple[int, float]]]:
+        """Geosearch-only distance ranking (createGeoTokenScores,
+        components/index.ts:945-976): score = maxDist - dist + 1."""
+        if len(where) != 1:
+            return None
+        prop, op = next(iter(where.items()))
+        if self.schema.get(prop) != "geopoint" or not isinstance(op, dict):
+            return None
+        if "radius" not in op and "polygon" not in op:
+            return None
+        matches = self._geo_matches(prop, op)
+        if not matches:
+            return []
+        dmax = max(d for _, d in matches)
+        return [(i, dmax - d + 1) for i, d in matches]
 
     def _filter_value_matches_bool(self, docid: int, prop: str, want: bool) -> bool:
         value = _get_nested(self.docs[docid], prop)

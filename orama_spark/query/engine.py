@@ -167,6 +167,8 @@ class SearchIndex:
         self.dictionary = dictionary
         self.stats = stats
         self.tokenizer = Tokenizer(config.tokenizer)
+        # (tokens, props, tolerance) -> (collected expansion | None, tokens_found)
+        self._fuzzy_cache: dict[tuple, tuple] = {}
         self._where = WhereCompiler(
             config,
             docs,
@@ -308,14 +310,34 @@ class SearchIndex:
                 scored = self._exact_post_filter(scored, term, props)
         else:
             if where is not None and where != {}:
-                scored = (where_ids or self._empty_ids()).select(
-                    "docid", F.lit(0.0).alias("score")
-                )
+                geo = self._geo_only(where)
+                if geo is not None:
+                    scored = geo
+                else:
+                    scored = (where_ids or self._empty_ids()).select(
+                        "docid", F.lit(0.0).alias("score")
+                    )
             else:
                 scored = self.docs.select(
                     F.col(docid).alias("docid"), F.lit(0.0).alias("score")
                 )
         return SearchResult(self, scored, offset=offset, limit=limit)
+
+    def _geo_only(self, where: dict) -> Optional[DataFrame]:
+        """Geosearch-only query -> distance-ranked scores
+        (isGeosearchOnlyQuery + searchByGeoWhereClause,
+        components/index.ts:978-1051): exactly one filter key, geopoint-
+        typed, radius/polygon operation, and no search term."""
+        if len(where) != 1:
+            return None
+        prop, op = next(iter(where.items()))
+        if self.config.schema.get(prop) != "geopoint" or not isinstance(op, dict):
+            return None
+        if "radius" not in op and "polygon" not in op:
+            return None
+        from .geo import geo_scored
+
+        return geo_scored(self.docs, self.config.docid_col, prop, op)
 
     def _empty_ids(self) -> DataFrame:
         return self.docs.select(
@@ -348,20 +370,41 @@ class SearchIndex:
             # fuzzy is the one path that must materialize the expansion:
             # the matched-word set is needed as a literal IN-list to keep
             # the postings scan row-group-pruned (a fuzzy predicate can't
-            # push into parquet)
-            rows = exp.limit(EXPANSION_COLLECT_CAP + 1).collect()
-            if not rows:
+            # push into parquet). The collected expansion is cached per
+            # (tokens, props, tolerance) — it only depends on the
+            # dictionary, so repeated fuzzy queries skip the scan.
+            cache_key = (tuple(tokens), tuple(props), tolerance)
+            hit = self._fuzzy_cache.get(cache_key)
+            if hit is None:
+                rows = exp.limit(EXPANSION_COLLECT_CAP + 1).collect()
+                if len(rows) > EXPANSION_COLLECT_CAP:
+                    # over-cap: the truncated sample is arbitrary — a
+                    # qtoken can have all its matches outside the sample.
+                    # tokens_found must come from a (tiny) distinct scan.
+                    tokens_found = {
+                        r["qtoken"]
+                        for r in exp.select("qtoken").distinct().collect()
+                    }
+                    rows = None  # stay distributed
+                else:
+                    tokens_found = {r["qtoken"] for r in rows}
+                    rows = [
+                        (r["field"], r["qtoken"], r["term"], r["df"]) for r in rows
+                    ]
+                hit = (rows, tokens_found)
+                self._fuzzy_cache[cache_key] = hit
+            rows, tokens_found = hit
+            if not tokens_found:
                 return self._empty_scored()
-            tokens_found = {r["qtoken"] for r in rows}
             if threshold == 0 and keywords_count > 1:
                 if any(t not in tokens_found for t in tokens):
                     return self._empty_scored()
             p = self.postings.where(F.col("field").isin(props))
-            if len(rows) <= EXPANSION_COLLECT_CAP:
-                p = p.where(F.col("term").isin(list({r["term"] for r in rows})))
+            if rows is not None:
+                p = p.where(F.col("term").isin(list({r[2] for r in rows})))
                 exp = F.broadcast(
                     self.spark.createDataFrame(
-                        [(r["field"], r["qtoken"], r["term"], r["df"]) for r in rows],
+                        rows,
                         schema="field string, qtoken string, term string, df long",
                     )
                 )
@@ -403,14 +446,20 @@ class SearchIndex:
                 return scored.select("docid", "score")
             return scored.where(F.col("__full") == 1).select("docid", "score")
         # fractional threshold (components/index.ts:574-591): all full
-        # matches + ceil(|partial| * t) of the best partials
-        scored = scored.persist()
-        full = scored.where(F.col("__full") == 1)
-        n_full = full.count()
+        # matches + ceil(|partial| * t) of the best partials. ONE agg
+        # action for both counts; no persist (a long-lived session must
+        # not accumulate cached partitions per query — the final plan
+        # recomputes the scored lineage once, which is cheaper than a
+        # cache leak at fleet scale).
+        counts = scored.agg(
+            F.sum("__full").alias("nf"), F.count("*").alias("nt")
+        ).collect()[0]
+        n_full = int(counts["nf"] or 0)
         if n_full == 0:
             return scored.select("docid", "score")
+        full = scored.where(F.col("__full") == 1)
         partial = scored.where(F.col("__full") != 1)
-        n_partial = partial.count()
+        n_partial = int(counts["nt"]) - n_full
         take = math.ceil(n_partial * threshold)
         top_partial = partial.orderBy(F.desc("score"), F.asc("docid")).limit(take)
         return full.select("docid", "score").unionByName(

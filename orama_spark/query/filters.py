@@ -81,6 +81,11 @@ def _leaf_predicate(config: IndexConfig, prop: str, operation) -> Column:
             return col.isNotNull() & ~col.isin(list(val))
         raise ValueError(f"INVALID_FILTER_OPERATION: {op}")
 
+    if typ == "geopoint":
+        from .geo import geo_predicate
+
+        return geo_predicate(prop, operation)
+
     if typ in ("number", "number[]"):
         if not isinstance(operation, dict) or len(operation) != 1:
             raise ValueError(f"INVALID_FILTER_OPERATION: {operation}")

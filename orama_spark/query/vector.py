@@ -73,24 +73,30 @@ def hybrid_merge(
 ) -> DataFrame:
     """mergeAndRankResults (search-hybrid.ts:124-157): each side is
     normalized by ITS max score, then weighted-summed; missing side = 0.
-    Empty sides yield the other side unchanged (max of empty -> skip)."""
-    t_max = text_scored.agg(F.max("score")).collect()[0][0]
-    v_max = vector_scored.agg(F.max("score")).collect()[0][0]
-    t = text_scored.select(
-        "docid",
-        (F.col("score") / F.lit(t_max if t_max else 1.0)).alias("t_norm"),
-    )
-    v = vector_scored.select(
-        "docid",
-        (F.col("score") / F.lit(v_max if v_max else 1.0)).alias("v_norm"),
-    )
+    Empty sides yield the other side unchanged (max of empty -> skip).
+
+    ZERO driver actions: the two max-normalizers are 1-row aggregates
+    broadcast-cross-joined into the plan, so a hybrid query is a single
+    Spark job instead of three (two maxes were separate collect()s)."""
+    t_max = text_scored.agg(F.max("score").alias("__tmax"))
+    v_max = vector_scored.agg(F.max("score").alias("__vmax"))
+    safe = lambda c: F.when(c.isNull() | (c == 0.0), F.lit(1.0)).otherwise(c)  # noqa: E731
     return (
-        t.join(v, "docid", "full_outer")
+        text_scored.select("docid", F.col("score").alias("t_score"))
+        .join(
+            vector_scored.select("docid", F.col("score").alias("v_score")),
+            "docid",
+            "full_outer",
+        )
+        .crossJoin(F.broadcast(t_max))
+        .crossJoin(F.broadcast(v_max))
         .select(
             "docid",
             (
-                F.coalesce(F.col("t_norm"), F.lit(0.0)) * F.lit(text_weight)
-                + F.coalesce(F.col("v_norm"), F.lit(0.0)) * F.lit(vector_weight)
+                F.coalesce(F.col("t_score") / safe(F.col("__tmax")), F.lit(0.0))
+                * F.lit(text_weight)
+                + F.coalesce(F.col("v_score") / safe(F.col("__vmax")), F.lit(0.0))
+                * F.lit(vector_weight)
             ).alias("score"),
         )
     )

@@ -63,6 +63,13 @@ class BlockIndex:
         blocks from several tasks."""
         import json
 
+        if config.tokenizer.allow_duplicates:
+            raise NotImplementedError(
+                "BlockIndex assumes the deduplicating tokenizer identity "
+                "tf == 1/field_len (blocks store only field_len); "
+                "allow_duplicates postings must use the plain path"
+            )
+        cls._check_not_stale(index_dir)
         with open(os.path.join(index_dir, "stats.json")) as f:
             stats = json.load(f)
         postings = spark.read.parquet(os.path.join(index_dir, "postings"))
@@ -71,10 +78,25 @@ class BlockIndex:
         blocks.write.mode("overwrite").parquet(os.path.join(index_dir, "blocks"))
         return cls.load(spark, index_dir, config)
 
+    @staticmethod
+    def _check_not_stale(index_dir: str) -> None:
+        """Block max_score bounds embed the build-time (df, avgfl, N):
+        pending tombstones / dictionary deltas would let true scores
+        exceed the stored bounds (df shrinks -> idf grows), making the
+        pruning UNSOUND. Refuse, pointing at the safe path."""
+        for pending in ("tombstones", "dictionary_delta"):
+            if os.path.exists(os.path.join(index_dir, pending)):
+                raise ValueError(
+                    f"index has pending incremental {pending}; run "
+                    "build.maintenance.compact() and rebuild blocks "
+                    "(BlockIndex.build) before block-max WAND queries"
+                )
+
     @classmethod
     def load(cls, spark: SparkSession, index_dir: str, config: IndexConfig) -> "BlockIndex":
         import json
 
+        cls._check_not_stale(index_dir)
         with open(os.path.join(index_dir, "stats.json")) as f:
             stats = json.load(f)
         return cls(

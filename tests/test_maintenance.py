@@ -116,6 +116,113 @@ def test_compaction_preserves_results(spark, tmpdir_index):
     assert not os.path.exists(f"{tmpdir_index}/tombstones")
 
 
+def test_remove_nonexistent_is_noop(spark, tmpdir_index):
+    """Reference remove returns false for unknown ids — stats must not
+    drift (ADVICE r01: upserting m new docs left docs_count low by m)."""
+    import json
+
+    cfg = build(spark, tmpdir_index)
+    with open(f"{tmpdir_index}/stats.json") as f:
+        before = json.load(f)
+    stats = remove_documents(
+        spark, tmpdir_index, cfg, spark.createDataFrame([(99,), (100,)], "docid long")
+    )
+    assert stats == before
+    idx = SearchIndex.load(spark, tmpdir_index, cfg)
+    assert idx.search(term="alpha").count() == 4
+
+
+def test_upsert_brand_new_docs_keeps_stats_exact(spark, tmpdir_index):
+    from orama_spark.build.maintenance import upsert_documents
+
+    cfg = build(spark, tmpdir_index)
+    orc = oracle()
+    new = [{"docid": 20, "t": "alpha rho", "cat": "w"},
+           {"docid": 21, "t": "sigma tau upsilon", "cat": "w"}]
+    upsert_documents(spark, tmpdir_index, cfg, spark.createDataFrame(new))
+    for r in new:
+        orc.insert({k: v for k, v in r.items() if k != "docid"}, docid=r["docid"])
+    idx = SearchIndex.load(spark, tmpdir_index, cfg)
+    assert idx.stats["docs_count"] == 7
+    assert_match(idx, orc, "alpha")
+    assert_match(idx, orc, "sigma")
+
+
+def test_sparse_field_removal_leaves_other_avg_untouched(spark, tmpdir_index):
+    """Docs lacking a field must not rescale that field's average
+    (reference recurrence fires only for props on the doc)."""
+    import json
+
+    cfg = IndexConfig(schema={"t": "string", "u": "string"})
+    rows = [
+        {"docid": 1, "t": "alpha beta", "u": "kappa lambda mu"},
+        {"docid": 2, "t": "gamma delta epsilon", "u": None},
+        {"docid": 3, "t": "zeta", "u": None},
+    ]
+    df = spark.createDataFrame(rows)
+    IndexBuilder(cfg, postings_partitions=2).build(df, tmpdir_index, input_id="sparse")
+    with open(f"{tmpdir_index}/stats.json") as f:
+        before = json.load(f)
+    # remove doc 2 (has t, lacks u): u's average must be untouched
+    remove_documents(spark, tmpdir_index, cfg,
+                     spark.createDataFrame([(2,)], "docid long"))
+    with open(f"{tmpdir_index}/stats.json") as f:
+        after = json.load(f)
+    assert after["fields"]["u"]["avg_field_length"] == before["fields"]["u"]["avg_field_length"]
+    assert after["fields"]["u"]["docs_with_field"] == 1
+    # t's average becomes the exact mean over remaining docs-with-t
+    assert after["fields"]["t"]["avg_field_length"] == pytest.approx((2 + 1) / 2)
+
+
+def test_allow_duplicates_df_parity(spark, tmpdir_index):
+    """df must count token OCCURRENCES under allow_duplicates
+    (index.ts:113-118) — scores match the oracle exactly."""
+    from orama_spark.kernel.tokenizer import TokenizerConfig
+
+    tok = TokenizerConfig(allow_duplicates=True)
+    cfg = IndexConfig(schema={"t": "string"}, tokenizer=tok)
+    rows = [
+        {"docid": 1, "t": "alpha alpha alpha beta"},
+        {"docid": 2, "t": "alpha beta beta"},
+        {"docid": 3, "t": "gamma alpha"},
+        {"docid": 4, "t": "delta"},
+    ]
+    IndexBuilder(cfg, postings_partitions=2).build(
+        spark.createDataFrame(rows), tmpdir_index, input_id="dup"
+    )
+    orc = OramaOracle({"t": "string"}, tokenizer=tok)
+    for r in rows:
+        orc.insert({"t": r["t"]}, docid=r["docid"])
+    idx = SearchIndex.load(spark, tmpdir_index, cfg)
+    # df(alpha) = 5 occurrences, not 3 docs
+    assert {
+        (r["term"], r["df"]) for r in idx.dictionary.where("term = 'alpha'").collect()
+    } == {("alpha", 5)}
+    assert_match(idx, orc, "alpha")
+    assert_match(idx, orc, "beta")
+    # and maintenance keeps occurrence counting on remove
+    remove_documents(spark, tmpdir_index, cfg,
+                     spark.createDataFrame([(1,)], "docid long"))
+    orc.remove(1)
+    idx2 = SearchIndex.load(spark, tmpdir_index, cfg)
+    assert_match(idx2, orc, "alpha")
+
+
+def test_blockindex_refuses_pending_deltas(spark, tmpdir_index):
+    from orama_spark.query.wand import BlockIndex
+
+    cfg = build(spark, tmpdir_index)
+    BlockIndex.build(spark, tmpdir_index, cfg)
+    remove_documents(spark, tmpdir_index, cfg,
+                     spark.createDataFrame([(2,)], "docid long"))
+    with pytest.raises(ValueError, match="pending incremental"):
+        BlockIndex.load(spark, tmpdir_index, cfg)
+    compact(spark, tmpdir_index, cfg)
+    BlockIndex.build(spark, tmpdir_index, cfg)  # rebuild after compact OK
+    out = BlockIndex.load(spark, tmpdir_index, cfg).wand_topk("alpha", k=3).collect()
+    assert all(r["docid"] != 2 for r in out)
+
+
 def test_build_resume_skips_completed_stages(spark, tmpdir_index):
     cfg = build(spark, tmpdir_index)
     from orama_spark.build.manifest import BuildManifest
