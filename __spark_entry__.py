@@ -35,8 +35,61 @@ DOC_SCHEMA = {
     "lang": "enum",
     "source": "enum",
     "n_chars": "number",
+    "loc": "geopoint",
 }
 DOC_CONFIG = IndexConfig(schema=DOC_SCHEMA, tokenizer=TokenizerConfig.plain())
+
+# Deterministic synthetic geopoint per doc (the corpus has no native
+# coordinates): lat in [-60, 60), lon in [-180, 180). Integer-exact
+# modular arithmetic, bit-identical in Spark and DuckDB.
+_GEO_LAT = "(-60 + ((doc_id * 7919) % 12000) / 100.0)"
+_GEO_LON = "(-180 + ((doc_id * 104729) % 36000) / 100.0)"
+_GEO_CENTER = {"lat": 10.0, "lon": 20.0}
+_GEO_POLY = [
+    {"lat": -10.0, "lon": -20.0},
+    {"lat": -10.0, "lon": 40.0},
+    {"lat": 25.0, "lon": 40.0},
+    {"lat": 25.0, "lon": -20.0},
+    {"lat": -10.0, "lon": -20.0},
+]
+
+
+def _sql_hav_dist(clat: float, clon: float) -> str:
+    """DuckDB haversine with the SAME literal values and operation order
+    as orama_spark.query.geo.haversine_m (trees/bkd.ts:335-349)."""
+    import math as _m
+
+    p = repr(_m.pi / 180.0)
+    lat1 = repr(float(clat) * (_m.pi / 180.0))
+    dlat2 = f"((lat - {clat!r}) * {p} / 2)"
+    dlon2 = f"((lon - {clon!r}) * {p} / 2)"
+    a = (
+        f"(sin({dlat2}) * sin({dlat2})"
+        f" + cos({lat1}) * cos(lat * {p}) * sin({dlon2}) * sin({dlon2}))"
+    )
+    return f"(12742000.0 * atan2(sqrt({a}), sqrt(1 - {a})))"
+
+
+def _sql_in_polygon(poly: list[dict]) -> str:
+    """DuckDB ray cast, edge literals precomputed in Python exactly like
+    the unrolled Spark expression (geo.point_in_polygon)."""
+    terms = []
+    n = len(poly)
+    j = n - 1
+    for i in range(n):
+        xi, yi = float(poly[i]["lon"]), float(poly[i]["lat"])
+        xj, yj = float(poly[j]["lon"]), float(poly[j]["lat"])
+        terms.append(
+            f"(CASE WHEN ({yi!r} > lat) <> ({yj!r} > lat)"
+            f" AND lon < {xj - xi!r} * (lat - {yi!r}) / {yj - yi!r} + {xi!r}"
+            " THEN 1 ELSE 0 END)"
+        )
+        j = i
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def _sql_geo_cte() -> str:
+    return f"geo AS (SELECT doc_id, {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM documents)"
 
 # Exact JS split regex (languages.ts:36) as a DuckDB RE2 class over
 # lowered text; '' escapes the quote inside the SQL literal.
@@ -59,6 +112,12 @@ def _get_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
     df = (
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumn(
+            "loc",
+            F.struct(
+                F.expr(_GEO_LAT).alias("lat"), F.expr(_GEO_LON).alias("lon")
+            ),
+        )
         .withColumnRenamed("doc_id", "docid")
     )
     out = os.path.join(
@@ -250,6 +309,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "docid", "n_chars", _r()
         )
     q["sort_nchars"] = sort_nchars
+
+    # geosearch (SURVEY §2.6 geo + index.ts:945-1051 distance ranking)
+    def geo_radius(spark, sf_dir):
+        idx = _get_index(spark, sf_dir)
+        sr = idx.search(where={"loc": {"radius": {
+            "coordinates": _GEO_CENTER, "value": 3000, "unit": "km"}}}, limit=100)
+        return sr.top_df().select(
+            "docid", F.round(F.col("score") / 1000.0, 6).alias("score_km")
+        )
+    q["flt_geo_radius"] = geo_radius
+
+    def geo_polygon(spark, sf_dir):
+        idx = _get_index(spark, sf_dir)
+        sr = idx.search(where={"loc": {"polygon": {"coordinates": _GEO_POLY}}}, limit=100)
+        return sr.top_df().select(
+            "docid", F.round(F.col("score") / 1000.0, 6).alias("score_km")
+        )
+    q["flt_geo_polygon"] = geo_polygon
+
+    def geo_filter_term(spark, sf_dir):
+        idx = _get_index(spark, sf_dir)
+        sr = idx.search(term="spark", where={"loc": {"radius": {
+            "coordinates": _GEO_CENTER, "value": 3000, "unit": "km"}}}, limit=10)
+        return sr.top_df().select("docid", _r())
+    q["flt_geo_filter"] = geo_filter_term
 
     # vector search: brute-force cosine top-k baseline (SURVEY §2.9)
     def vec_topk(spark, sf_dir):
@@ -510,6 +594,47 @@ SELECT docid, n_chars, score FROM (
 ) t WHERE rn <= 10
 """
     )
+    # geosearch: distance-ranked geo-only queries (score = maxDist -
+    # dist + 1, index.ts:945-976); reported in km to keep the 6-decimal
+    # hash comparison far from float-libm ulp boundaries
+    _r_m = 3000 * 1000.0
+    _dist_c = _sql_hav_dist(_GEO_CENTER["lat"], _GEO_CENTER["lon"])
+    sql["flt_geo_radius"] = f"""
+WITH {_sql_geo_cte()},
+d AS (SELECT doc_id, {_dist_c} AS dist FROM geo),
+matched AS (SELECT doc_id, dist FROM d WHERE dist <= {_r_m!r}),
+mx AS (SELECT max(dist) AS m FROM matched)
+SELECT doc_id AS docid, round((m - dist + 1) / 1000.0, 6) AS score_km
+FROM matched, mx
+ORDER BY (m - dist + 1) DESC, doc_id ASC
+LIMIT 100
+"""
+
+    from orama_spark.query.geo import polygon_centroid
+
+    _cen = polygon_centroid(_GEO_POLY)
+    _dist_cen = _sql_hav_dist(_cen["lat"], _cen["lon"])
+    sql["flt_geo_polygon"] = f"""
+WITH {_sql_geo_cte()},
+matched AS (
+  SELECT doc_id, {_dist_cen} AS dist FROM geo WHERE {_sql_in_polygon(_GEO_POLY)}
+),
+mx AS (SELECT max(dist) AS m FROM matched)
+SELECT doc_id AS docid, round((m - dist + 1) / 1000.0, 6) AS score_km
+FROM matched, mx
+ORDER BY (m - dist + 1) DESC, doc_id ASC
+LIMIT 100
+"""
+
+    sql["flt_geo_filter"] = _sql_topk(
+        "spark",
+        cond=PREFIX_COND,
+        where_doc=(
+            f"doc_id IN (SELECT doc_id FROM (SELECT doc_id, {_GEO_LAT} AS lat, "
+            f"{_GEO_LON} AS lon FROM documents) g WHERE {_dist_c} <= {_r_m!r})"
+        ),
+    )
+
     sql["vec_topk"] = """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, round(list_cosine_similarity(e.embedding, q.qe), 6) AS sim
