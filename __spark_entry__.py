@@ -99,6 +99,35 @@ PREFIX_COND = "tok.term LIKE qt.qtoken || '%'"
 
 _INDEX_CACHE: dict[str, SearchIndex] = {}
 
+# string[] searchable-field index: tags = [lang, source] per doc —
+# single-token elements exercise the per-element insert semantics
+# (index.ts:260-301) with a SQL-expressible oracle.
+TAGS_CONFIG = IndexConfig(
+    schema={"tags": "string[]"}, tokenizer=TokenizerConfig.plain(), docid_col="docid"
+)
+_TAGS_CACHE: dict[str, SearchIndex] = {}
+
+
+def _get_tags_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    idx = _TAGS_CACHE.get(sf_dir)
+    if idx is not None:
+        return idx
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(
+            F.col("doc_id").alias("docid"),
+            F.array(F.col("lang"), F.col("source")).alias("tags"),
+        )
+    )
+    out = os.path.join(
+        "/dev/shm/orama_spark_entry_tagsidx",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    IndexBuilder(TAGS_CONFIG).build(df, out, input_id=sf_dir)
+    idx = SearchIndex.load(spark, out, TAGS_CONFIG)
+    _TAGS_CACHE[sf_dir] = idx
+    return idx
+
 
 def _get_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     idx = _INDEX_CACHE.get(sf_dir)
@@ -334,6 +363,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "coordinates": _GEO_CENTER, "value": 3000, "unit": "km"}}}, limit=10)
         return sr.top_df().select("docid", _r())
     q["flt_geo_filter"] = geo_filter_term
+
+    # string[] searchable field (index.ts:260-301 per-element insert)
+    def string_array_search(spark, sf_dir):
+        idx = _get_tags_index(spark, sf_dir)
+        sr = idx.search(term="en src3", limit=10)
+        return sr.top_df().select("docid", _r())
+    q["flt_string_array"] = string_array_search
 
     # vector search: brute-force cosine top-k baseline (SURVEY §2.9)
     def vec_topk(spark, sf_dir):
@@ -634,6 +670,39 @@ LIMIT 100
             f"{_GEO_LON} AS lon FROM documents) g WHERE {_dist_c} <= {_r_m!r})"
         ),
     )
+
+    # string[]: tags = [lang, source]; fl = len(LAST element's tokens)
+    # = 1, avg = 1 (recurrence over all-ones), tf = 1 only if the term
+    # is in the last element (source), else 0 (frequencies reset per
+    # element, index.ts:90); df counts occurrences across elements
+    sql["flt_string_array"] = """
+WITH tok AS (
+  SELECT doc_id, lang AS term FROM documents
+  UNION ALL
+  SELECT doc_id, source AS term FROM documents
+),
+dfreq AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+qt(qtoken) AS (SELECT * FROM (VALUES ('en'), ('src3')) v(q)),
+m AS (
+  SELECT DISTINCT tok.doc_id, tok.term
+  FROM tok JOIN qt ON tok.term LIKE qt.qtoken || '%'
+),
+scored AS (
+  SELECT m.doc_id AS docid,
+         sum( ln(1 + (n.n - f.df + 0.5) / (f.df + 0.5))
+              * (0.5 + (CASE WHEN m.term = s.source THEN 1.0 ELSE 0.0 END) * 2.2)
+              / ((CASE WHEN m.term = s.source THEN 1.0 ELSE 0.0 END)
+                 + 1.2 * (1 - 0.75 + 0.75 * 1.0 / 1.0)) ) AS score
+  FROM m
+  JOIN dfreq f ON f.term = m.term
+  JOIN documents s ON s.doc_id = m.doc_id
+  CROSS JOIN n
+  GROUP BY m.doc_id
+)
+SELECT docid, round(score, 6) AS score
+FROM scored ORDER BY scored.score DESC, docid ASC LIMIT 10
+"""
 
     sql["vec_topk"] = """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

@@ -92,13 +92,6 @@ class IndexBuilder:
         fp = _config_fingerprint(cfg, extra=input_id)
         manifest = BuildManifest.load(out_dir)
 
-        for f_ in cfg.searchable_fields:
-            if cfg.schema[f_] == "string[]":
-                raise NotImplementedError(
-                    "string[] searchable fields: per-element insert quirk "
-                    "(index.ts:383-405) not yet replicated distributedly"
-                )
-
         # Default to the input's own partitioning: a 100 TB source arrives
         # in thousands of splits and keeps them; a tiny table stays at a
         # handful of partitions instead of paying 64-way shuffle overhead.
@@ -129,10 +122,17 @@ class IndexBuilder:
         tokens_path = os.path.join(out_dir, "tokens")
 
         def _tokens():
+            # scalar string: array<string> of tokens. string[]: one token
+            # list per array ELEMENT (the reference inserts each element
+            # separately, index.ts:260-301 — order matters, see postings)
+            from .tokenize import tokens_arr_udf
+
             tok_cols = [
-                tokens_udf(cfg.tokenizer, f_)(F.col(f_).cast("string")).alias(
-                    _tok_col(f_)
-                )
+                (
+                    tokens_arr_udf(cfg.tokenizer, f_)(F.col(f_))
+                    if cfg.schema[f_] == "string[]"
+                    else tokens_udf(cfg.tokenizer, f_)(F.col(f_).cast("string"))
+                ).alias(_tok_col(f_))
                 for f_ in cfg.searchable_fields
             ]
             (
@@ -150,6 +150,8 @@ class IndexBuilder:
         docmeta_path = os.path.join(out_dir, "docmeta")
 
         def _field_postings(f_: str) -> DataFrame:
+            if cfg.schema[f_] == "string[]":
+                return self._array_field_postings(tokenized, f_)
             t = tokenized.select(
                 "docid",
                 F.col(_tok_col(f_)).alias("toks"),
@@ -202,12 +204,27 @@ class IndexBuilder:
         results["postings"] = manifest.run_stage("postings", fp, _postings)
 
         def _docmeta():
+            # scalar: field_len = token count. string[]: the LAST
+            # element's token count (fieldLengths is overwritten per
+            # element, index.ts:88-89); docs with an empty array have no
+            # entry (the per-element loop never runs)
+            def meta_col(f_: str):
+                if cfg.schema[f_] == "string[]":
+                    return F.size(F.element_at(_tok_col(f_), -1))
+                return F.size(_tok_col(f_))
+
+            def present(f_: str):
+                c = F.col(_tok_col(f_))
+                if cfg.schema[f_] == "string[]":
+                    return c.isNotNull() & (F.size(c) > 0)
+                return c.isNotNull()
+
             metas = [
                 tokenized.select(
                     "docid",
                     F.lit(f_).alias("field"),
-                    F.size(_tok_col(f_)).alias("field_len"),
-                ).where(F.col(_tok_col(f_)).isNotNull())
+                    meta_col(f_).alias("field_len"),
+                ).where(present(f_))
                 for f_ in cfg.searchable_fields
             ]
             dm = metas[0]
@@ -252,7 +269,19 @@ class IndexBuilder:
             fields = {}
             for f_ in self.config.searchable_fields:
                 info = per_field.get(f_, {"n": 0, "mean": 0.0})
-                if info["n"] == docs_count or info["n"] == 0:
+                if self.config.schema[f_] == "string[]":
+                    # per-element recurrence (one avg update PER ELEMENT
+                    # at the same docsCount, index.ts:88 via 290-296) —
+                    # never a plain mean unless every doc has exactly
+                    # one element
+                    avg = (
+                        self._exact_avg_field_length_elements(
+                            spark.read.parquet(tokens_path), f_
+                        )
+                        if info["n"] > 0
+                        else 0.0
+                    )
+                elif info["n"] == docs_count or info["n"] == 0:
                     # telescoped running mean == plain mean (index.ts:88)
                     avg = float(info["mean"] or 0.0)
                 else:
@@ -269,6 +298,43 @@ class IndexBuilder:
         results["stats"] = manifest.run_stage("stats", fp, _stats)
         manifest.save()
         return results
+
+    def _array_field_postings(self, tokenized: DataFrame, f_: str) -> DataFrame:
+        """string[] postings replicating the per-element insert
+        (components/index.ts:260-301 + 79-119):
+          * the radix set holds every token of every element -> one
+            posting per distinct (doc, term) across ALL elements
+          * df counts occurrences across elements (occ)
+          * frequencies are RESET per element (index.ts:90), so the
+            stored tf is the token's tf within the LAST element — 0 for
+            tokens only in earlier elements (calculateResultScores
+            falls back to 0, index.ts:107)
+          * field_len is the LAST element's token count (overwritten per
+            element, index.ts:88)
+        """
+        col = _tok_col(f_)
+        t = tokenized.select("docid", F.col(col).alias("toks")).where(
+            F.col("toks").isNotNull() & (F.size("toks") > 0)
+        )
+        base = t.select(
+            "docid",
+            F.element_at("toks", -1).alias("last_toks"),
+            F.explode(F.flatten("toks")).alias("term"),
+        )
+        grouped = base.groupBy("docid", "term").agg(
+            F.count("*").alias("occ"), F.first("last_toks").alias("last_toks")
+        )
+        field_len = F.size("last_toks")
+        in_last = F.size(F.filter("last_toks", lambda x: x == F.col("term")))
+        tf = F.when(field_len > 0, in_last.cast("double") / field_len).otherwise(0.0)
+        return grouped.select(
+            F.lit(f_).alias("field"),
+            "term",
+            "docid",
+            tf.cast("double").alias("tf"),
+            field_len.cast("int").alias("field_len"),
+            F.col("occ").cast("int").alias("occ"),
+        )
 
     @staticmethod
     def _exact_avg_field_length(docmeta: DataFrame, field: str, docs_count: int) -> float:
@@ -290,8 +356,52 @@ class IndexBuilder:
             )
         )
         w = Window.orderBy(F.desc("c")).rowsBetween(Window.unboundedPreceding, -1)
+        neg_inf = float("-inf")
+        lp = F.when(F.col("c") <= 1, F.lit(neg_inf)).otherwise(
+            F.log(F.col("c") - 1) - F.log(F.col("c"))
+        )
         out = (
-            rows.withColumn("lp", F.log(F.col("c") - 1) - F.log(F.col("c")))
+            rows.withColumn("lp", lp)
+            .withColumn("suffix", F.coalesce(F.sum("lp").over(w), F.lit(0.0)))
+            .select(F.sum(F.col("len") / F.col("c") * F.exp(F.col("suffix"))).alias("avg"))
+            .collect()
+        )
+        return float(out[0]["avg"] or 0.0)
+
+    @staticmethod
+    def _exact_avg_field_length_elements(tokenized: DataFrame, field: str) -> float:
+        """string[] generalization of the recurrence: ONE avg update per
+        (doc, element) at the doc's insert count c (index.ts:88 called
+        per element, 290-296):
+        A = sum_{(m,e)} len_{m,e}/c_m * prod_{(k,f) > (m,e)} (c_k-1)/c_k
+        ordered by (doc, element position), with c_m the doc's 1-based
+        rank in docid order over ALL docs (the reference's docsCount is
+        the global running insert count — docs without the field still
+        advance it). Same log-space suffix trick; stats-only rare path
+        (single-partition window)."""
+        from pyspark.sql import Window
+
+        col = _tok_col(field)
+        ranked = tokenized.withColumn(
+            "c", F.dense_rank().over(Window.orderBy("docid")).cast("double")
+        )
+        rows = (
+            ranked.where(F.col(col).isNotNull())
+            .select("c", F.posexplode(col).alias("pos", "etoks"))
+            .select(
+                "c",
+                F.col("pos").alias("pos"),
+                F.size("etoks").cast("double").alias("len"),
+            )
+        )
+        w = Window.orderBy(F.desc("c"), F.desc("pos")).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        lp = F.when(F.col("c") <= 1, F.lit(float("-inf"))).otherwise(
+            F.log(F.col("c") - 1) - F.log(F.col("c"))
+        )
+        out = (
+            rows.withColumn("lp", lp)
             .withColumn("suffix", F.coalesce(F.sum("lp").over(w), F.lit(0.0)))
             .select(F.sum(F.col("len") / F.col("c") * F.exp(F.col("suffix"))).alias("avg"))
             .collect()

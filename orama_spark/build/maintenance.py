@@ -41,6 +41,19 @@ def _tok_col(field: str) -> str:
     return "__tok_" + field.replace(".", "__")
 
 
+def _check_no_string_arrays(config: IndexConfig) -> None:
+    """Incremental maintenance of string[] fields is not implemented:
+    the per-element insert recurrence (index.ts:260-301) has no clean
+    batch inverse (the reference's own remove leaves avgFieldLength NaN
+    after the first element re-removal). Build-time support is full."""
+    for f_ in config.searchable_fields:
+        if config.schema[f_] == "string[]":
+            raise NotImplementedError(
+                "incremental insert/remove with string[] searchable "
+                "fields: rebuild instead (IndexBuilder.build)"
+            )
+
+
 def _stats_path(index_dir: str) -> str:
     return os.path.join(index_dir, "stats.json")
 
@@ -66,6 +79,7 @@ def remove_documents(
     no-op returning false for unknown ids, methods/remove.ts), so stats
     are only adjusted for documents that actually leave the index.
     """
+    _check_no_string_arrays(config)
     remove_ids = remove_ids.select(F.col(remove_ids.columns[0]).alias("docid")).distinct()
     # only docs that exist: semi-join against the live docs table —
     # without this, removing (or upserting) unknown ids would decrement
@@ -132,6 +146,7 @@ def insert_documents(
     """Append new documents (must carry config.docid_col; ids must be new
     — duplicate ids raise, mirroring DOCUMENT_ALREADY_EXISTS,
     documents-store.ts:54)."""
+    _check_no_string_arrays(config)
     docid = config.docid_col
     docs_path = os.path.join(index_dir, "docs")
     existing_ids = spark.read.parquet(docs_path).select(F.col(docid).alias("docid"))

@@ -63,3 +63,25 @@ def tokens_udf(config: TokenizerConfig, prop: str):
         return col.map(lambda x: fn(x, prop) if isinstance(x, str) else None)
 
     return _tokenize
+
+
+def tokens_arr_udf(config: TokenizerConfig, prop: str):
+    """Pandas UDF for string[] props: array<string> column ->
+    array<array<string>>, one token list per array ELEMENT in order —
+    the reference inserts each element separately (index.ts:260-301),
+    and element order matters (last element's tf/field_len win)."""
+    cfg_tuple = _cfg_tuple(config)
+
+    @F.pandas_udf(ArrayType(ArrayType(StringType())))
+    def _tokenize_arr(col: pd.Series) -> pd.Series:
+        tok = _get_tokenizer(cfg_tuple)
+        fn = tok.tokenize
+
+        def one(arr):
+            if arr is None:
+                return None
+            return [fn(x, prop) if isinstance(x, str) else [] for x in arr]
+
+        return col.map(one)
+
+    return _tokenize_arr

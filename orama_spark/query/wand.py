@@ -63,11 +63,14 @@ class BlockIndex:
         blocks from several tasks."""
         import json
 
-        if config.tokenizer.allow_duplicates:
+        if config.tokenizer.allow_duplicates or any(
+            config.schema[f_] == "string[]" for f_ in config.searchable_fields
+        ):
             raise NotImplementedError(
                 "BlockIndex assumes the deduplicating tokenizer identity "
                 "tf == 1/field_len (blocks store only field_len); "
-                "allow_duplicates postings must use the plain path"
+                "allow_duplicates or string[] postings must use the "
+                "plain path"
             )
         cls._check_not_stale(index_dir)
         with open(os.path.join(index_dir, "stats.json")) as f:
