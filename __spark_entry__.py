@@ -323,6 +323,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["group_source"] = group_source
 
+    # multi-property groupBy with per-property cap (groups.ts:100-106)
+    def group_multi(spark, sf_dir):
+        idx = _get_index(spark, sf_dir)
+        sr = idx.search(term="spark merge")
+        return idx.groups_df(sr, ["lang", "source"], max_result=2).select(
+            "lang", "source", "docid", _r(), "group_rank"
+        )
+    q["group_multi_capped"] = group_multi
+
+    # facet count = #distinct values (facets.ts:115-117)
+    def facet_count(spark, sf_dir):
+        idx = _get_index(spark, sf_dir)
+        sr = idx.search(term="spark")
+        return idx.facet_count_df(sr, "lang")
+    q["facet_count"] = facet_count
+
     # distinctOn (SURVEY §2.7, search.ts:43-99)
     def distinct_source(spark, sf_dir):
         idx = _get_index(spark, sf_dir)
@@ -602,6 +618,30 @@ SELECT source, docid, score, group_rank FROM (
          row_number() OVER (PARTITION BY d.source ORDER BY s.score DESC, s.docid ASC) AS group_rank
   FROM scored s JOIN documents d ON d.doc_id = s.docid
 ) t WHERE group_rank <= 2
+"""
+    )
+    sql["group_multi_capped"] = (
+        _sql_prologue()
+        + _sql_matches(PREFIX_COND, _tokens("spark merge"))
+        + """
+SELECT lang, source, docid, round(score, 6) AS score, group_rank FROM (
+  SELECT lang, source, docid, score,
+         row_number() OVER (PARTITION BY lang, source ORDER BY score DESC, docid ASC) AS group_rank
+  FROM (
+    SELECT d.lang AS lang, d.source AS source, s.docid AS docid, s.score AS score,
+           row_number() OVER (PARTITION BY d.lang ORDER BY s.score DESC, s.docid ASC) AS r1,
+           row_number() OVER (PARTITION BY d.source ORDER BY s.score DESC, s.docid ASC) AS r2
+    FROM scored s JOIN documents d ON d.doc_id = s.docid
+  ) capped WHERE r1 <= 2 AND r2 <= 2
+) t
+"""
+    )
+    sql["facet_count"] = (
+        _sql_prologue()
+        + _sql_matches(PREFIX_COND, ["spark"])
+        + """
+SELECT count(DISTINCT d.lang) AS facet_count
+FROM scored s JOIN documents d ON d.doc_id = s.docid
 """
     )
     sql["distinct_source"] = (

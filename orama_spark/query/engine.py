@@ -565,33 +565,67 @@ class SearchIndex:
             )
         return counts
 
+    def facet_count_df(self, result: SearchResult, prop: str, config: Optional[dict] = None) -> DataFrame:
+        """Facet ``count`` = number of distinct facet values
+        (components/facets.ts:115-117). Scalar-number facets pre-seed
+        every range key at 0 (facets.ts:139-141 via 522-524), so their
+        count is len(ranges); number[] facets only create keys on first
+        increment; string/enum/bool count distinct present values."""
+        cfg = config or {}
+        typ = self.config.schema[prop]
+        docid = self.config.docid_col
+        if typ == "number":
+            return self.docs.sparkSession.range(1).select(
+                F.lit(len(cfg.get("ranges", []))).cast("long").alias("facet_count")
+            )
+        m = result.scored.join(self.docs.withColumnRenamed(docid, "docid"), "docid")
+        if typ == "number[]":
+            hits = []
+            for r in cfg.get("ranges", []):
+                inr = F.exists(F.col(prop), lambda x: (x >= r["from"]) & (x <= r["to"]))
+                hits.append(F.max(F.when(inr, 1).otherwise(0)))
+            if not hits:
+                return m.agg(F.lit(0).cast("long").alias("facet_count"))
+            total = hits[0]
+            for h in hits[1:]:
+                total = total + h
+            return m.agg(total.cast("long").alias("facet_count"))
+        vals = m.select(
+            F.explode(F.array_distinct(F.col(prop))).alias("v")
+            if typ.endswith("[]")
+            else F.col(prop).alias("v")
+        ).where(F.col("v").isNotNull())
+        return vals.agg(F.countDistinct("v").alias("facet_count"))
+
     # ------------------------------------------------------------ groups
     def groups_df(
         self, result: SearchResult, properties: list[str], max_result: Optional[int] = None
     ) -> DataFrame:
         """groupBy (components/groups.ts:46-175): per distinct value
-        combination, the top-``max_result`` docs in rank order.
+        combination, member docs in rank order.
 
-        Exact parity for a single property, or for multiple properties
-        without max_result (the reference caps per-property BEFORE the
-        combination intersection — with one property or no cap the two
-        formulations coincide)."""
-        if max_result is not None and len(properties) > 1:
-            raise NotImplementedError(
-                "maxResult with multiple group properties: the reference "
-                "caps per property pre-intersection (groups.ts:100-103); "
-                "not replicated distributedly"
-            )
+        The reference caps per PROPERTY (pre-intersection, groups.ts:
+        100-106): a doc enters a combination iff, for EVERY grouped
+        property, its rank among docs sharing that property VALUE is
+        <= maxResult. With one property the cap is the usual per-group
+        top-k. Distributed as one window per property (shuffle on the
+        property value) — no driver-side combination enumeration; empty
+        combinations never materialize."""
         docid = self.config.docid_col
         m = result.scored.join(
             self.docs.withColumnRenamed(docid, "docid"), "docid"
         )
         for p in properties:
             m = m.where(F.col(p).isNotNull())
+        if max_result is not None:
+            for i, p in enumerate(properties):
+                wp = Window.partitionBy(p).orderBy(F.desc("score"), F.asc("docid"))
+                m = m.withColumn(f"__r{i}", F.row_number().over(wp))
+            for i in range(len(properties)):
+                m = m.where(F.col(f"__r{i}") <= max_result)
+            m = m.drop(*[f"__r{i}" for i in range(len(properties))])
         w = Window.partitionBy(*properties).orderBy(F.desc("score"), F.asc("docid"))
         out = m.withColumn("group_rank", F.row_number().over(w))
-        if max_result is not None:
-            out = out.where(F.col("group_rank") <= max_result)
         return out.select(*properties, "docid", "score", "group_rank")
 
     # -------------------------------------------------------- distinct_on
