@@ -91,6 +91,38 @@ def _sql_in_polygon(poly: list[dict]) -> str:
 def _sql_geo_cte() -> str:
     return f"geo AS (SELECT doc_id, {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM documents)"
 
+
+# Fixed random hyperplanes for the embedding near-dup sketch: generated
+# once here, used as Column literals by the Spark query AND as SQL
+# literals by its DuckDB oracle (bit-identical sketches).
+def _emb_planes():
+    import numpy as np
+
+    return np.random.default_rng(11).standard_normal((16, 64))
+
+
+_EMB_PLANES = _emb_planes()
+
+
+def _sql_fold_dot(v: str, w: str, dim: int = 64) -> str:
+    """DuckDB left-fold dot product — the SAME IEEE operation sequence
+    as Spark's F.aggregate(zip_with(v, w, *), 0.0, +)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}), "
+        f"i -> {v}[i::INT]::DOUBLE * {w}[i::INT]::DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_plane_lit(j: int) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in _EMB_PLANES[j]) + "]"
+
+
+def _sql_cosine(v: str, w: str, dim: int = 64) -> str:
+    return (
+        f"({_sql_fold_dot(v, w, dim)} / "
+        f"(sqrt({_sql_fold_dot(v, v, dim)}) * sqrt({_sql_fold_dot(w, w, dim)})))"
+    )
+
 # Exact JS split regex (languages.ts:36) as a DuckDB RE2 class over
 # lowered text; '' escapes the quote inside the SQL literal.
 SQL_SPLIT = "[^a-zàèéìòóù0-9_''-]+"
@@ -447,7 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dedup_ngram_jaccard"] = ngram_jaccard
 
-    def minhash_pairs(spark, sf_dir):  # rows-only: Spark xxhash64 inside
+    def minhash_pairs(spark, sf_dir):
         from orama_spark.datapipe.dedup import minhash_lsh_pairs
 
         # word-salad corpus from a tiny vocab: long shingles + a high
@@ -457,17 +489,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
     q["dedup_minhash_lsh"] = minhash_pairs
 
-    def simhash_prs(spark, sf_dir):  # rows-only: Spark xxhash64 inside
+    def simhash_prs(spark, sf_dir):
         from orama_spark.datapipe.dedup import simhash_pairs
 
         return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
     q["dedup_simhash"] = simhash_prs
 
-    def emb_dups(spark, sf_dir):  # rows-only: LSH candidate recall
+    def emb_dups(spark, sf_dir):
         from orama_spark.datapipe.dedup import embedding_dup_pairs
 
+        # plant near-duplicates (ids +100000, first coordinate scaled by
+        # 17/16 — exact in binary on both engines) so the gate asserts
+        # non-trivial recall instead of passing on an empty result
+        emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+        planted = emb.where(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at("embedding", 1) * F.lit(1.0625)),
+                F.slice("embedding", 2, 63).cast("array<double>"),
+            ).alias("embedding"),
+        )
+        allv = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ).unionByName(planted)
         return embedding_dup_pairs(
-            _emb(spark, sf_dir), threshold=0.9
+            allv, threshold=0.9, planes=_EMB_PLANES, max_bucket_size=1000
         ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     q["dedup_embedding"] = emb_dups
 
@@ -506,12 +552,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_winnowing"] = winnow
 
-    def ann_ivf(spark, sf_dir):  # rows-only: approximate recall by design
+    def ann_ivf(spark, sf_dir):
         from orama_spark.datapipe.similarity import ivf_build, ivf_topk
 
+        # init='by_id' (centroids = 8 smallest ids): deterministic AND
+        # SQL-replicable, so the whole IVF path (assign -> probe ->
+        # re-rank) verifies value-level against DuckDB
         emb = _emb(spark, sf_dir)
         qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
-        assigned, cents = ivf_build(emb, n_centroids=8)
+        assigned, cents = ivf_build(emb, n_centroids=8, init="by_id")
         return ivf_topk(assigned, cents, qv, k=10, nprobe=4).select(
             F.col("id").alias("vec_id"), "cosine"
         )
@@ -793,6 +842,151 @@ SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
   SELECT id_a, id_b, shared / (sa.sz + sb.sz - shared) AS j
   FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 ) WHERE j >= 0.4
+"""
+
+    # ---- portable-hash LSH oracles (all previously `no_oracle`) ----
+    from orama_spark.datapipe.dedup import _minhash_coeffs
+    from orama_spark.datapipe.portable_hash import (
+        sql_kgram_hashes, sql_fnv_reduce, sql_signed,
+    )
+
+    _P61 = (1 << 61) - 1
+    coeffs = _minhash_coeffs(64)
+    # fold k-gram hash (HUGEINT in [0,2^64)) to low 32 bits, signed-safe
+    _k9 = sql_kgram_hashes("t", 9).replace(
+        sql_signed(sql_fnv_reduce(
+            "list_transform(range(i, i + 9), j -> unicode(substr(t, j::INT, 1)))"
+        )),
+        "("
+        + sql_fnv_reduce(
+            "list_transform(range(i, i + 9), j -> unicode(substr(t, j::INT, 1)))"
+        )
+        + " % 4294967296)::BIGINT",
+    )
+    _sig_exprs = ", ".join(
+        f"list_min(list_transform(xs, x -> (x * {a} + {b}) % {_P61}))"
+        for a, b in coeffs
+    )
+    _sentinel = "[" + ", ".join([str(_P61)] * 64) + "]"
+    sql["dedup_minhash_lsh"] = rf"""
+WITH c AS (SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t FROM documents),
+h AS (SELECT doc_id, list_distinct({_k9}) AS xs FROM c),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(xs) = 0 THEN {_sentinel} ELSE [{_sig_exprs}] END AS sig
+  FROM h
+),
+b AS (
+  SELECT doc_id, sig, u.band,
+         array_to_string(list_slice(sig, u.band * 4 + 1, u.band * 4 + 4), ',') AS bh
+  FROM s, (SELECT unnest(range(0, 16)) AS band) u
+),
+ok AS (SELECT band, bh FROM b GROUP BY band, bh HAVING count(*) <= 1000),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b, a.sig AS sa, bb.sig AS sb
+  FROM b a
+  JOIN ok o ON o.band = a.band AND o.bh = a.bh
+  JOIN b bb ON bb.band = a.band AND bb.bh = a.bh AND a.doc_id < bb.doc_id
+)
+SELECT id_a, id_b, round(est, 6) AS est_jaccard FROM (
+  SELECT id_a, id_b,
+         list_sum(list_transform(range(1, 65),
+           i -> CASE WHEN sa[i::INT] = sb[i::INT] THEN 1 ELSE 0 END)) / 64.0 AS est
+  FROM cand
+) WHERE est >= 0.9
+"""
+
+    # simhash: per bit j, sign of sum over tokens of +/-1 by bit j of
+    # the portable token FNV; banded by 16-bit chunks, Hamming verify
+    _tok_fnv = sql_fnv_reduce(
+        "list_transform(range(1, length(tok) + 1), j -> unicode(substr(tok, j::INT, 1)))"
+    )
+    _bits = " + ".join(
+        f"(CASE WHEN 2 * coalesce(list_sum(list_transform(hs, "
+        f"h -> CASE WHEN (h // {1 << j}::HUGEINT) % 2 = 1 THEN 1 ELSE 0 END)), 0)"
+        f" > len(hs) THEN {1 << j}::HUGEINT ELSE 0::HUGEINT END)"
+        for j in range(64)
+    )
+    sql["dedup_simhash"] = rf"""
+WITH c AS (SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t FROM documents),
+tk AS (
+  SELECT doc_id, CASE WHEN length(t) = 0 THEN [] ELSE string_split(t, ' ') END AS toks
+  FROM c
+),
+th AS (SELECT doc_id, list_transform(toks, tok -> {_tok_fnv}) AS hs FROM tk),
+sh AS (SELECT doc_id, ({_bits}) AS simu FROM th),
+sg AS (SELECT doc_id, {sql_signed('simu')} AS sim, simu FROM sh),
+chunks AS (
+  SELECT doc_id, sim, u.chunk, (simu // power(2, u.chunk * 16)::HUGEINT) % 65536 AS cv
+  FROM sg, (SELECT unnest(range(0, 4)) AS chunk) u
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sim AS ha, b.sim AS hb
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(ha, hb)) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+    # embedding near-dup: identical plane literals + identical left-fold
+    # IEEE op order => bit-identical sketches and cosines
+    _sk = " || ".join(
+        f"(CASE WHEN {_sql_fold_dot('v', _sql_plane_lit(j))} >= 0 THEN '1' ELSE '0' END)"
+        for j in range(16)
+    )
+    sql["dedup_embedding"] = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_prepend(embedding[1]::DOUBLE * 1.0625,
+                      list_transform(embedding[2:64], x -> x::DOUBLE))
+  FROM embeddings WHERE vec_id < 20
+),
+sk AS (SELECT vec_id, v, ({_sk}) AS sketch FROM base),
+ok AS (SELECT sketch FROM sk GROUP BY sketch HAVING count(*) <= 1000),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM sk a
+  JOIN ok o ON o.sketch = a.sketch
+  JOIN sk b ON b.sketch = a.sketch AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos_, 6) AS cosine FROM (
+  SELECT id_a, id_b, {_sql_cosine('va', 'vb')} AS cos_ FROM cand
+) WHERE cos_ >= 0.9
+"""
+
+    # IVF ANN: by_id centroids -> argmax-cosine assignment -> probe the
+    # 4 nearest centroids -> exact re-rank; every stage in plain SQL
+    sql["ann_ivf_topk"] = f"""
+WITH cents AS (
+  SELECT vec_id AS c, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+asg AS (
+  SELECT e.vec_id, e.embedding, c.c,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_sql_cosine('e.embedding', 'c.ce')} DESC, c.c DESC
+         ) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (SELECT vec_id, embedding, c AS centroid FROM asg WHERE rn = 1),
+probe AS (
+  SELECT c FROM (
+    SELECT c.c, row_number() OVER (
+      ORDER BY {_sql_cosine('c.ce', 'q.qe')} DESC, c.c ASC) AS pr
+    FROM cents c CROSS JOIN q
+  ) t WHERE pr <= 4
+)
+SELECT vec_id, cosine FROM (
+  SELECT a.vec_id AS vec_id, round({_sql_cosine('a.embedding', 'q.qe')}, 6) AS cosine
+  FROM assigned a CROSS JOIN q
+  WHERE a.centroid IN (SELECT c FROM probe)
+) z
+ORDER BY z.cosine DESC, vec_id ASC
+LIMIT 10
 """
 
     sql["text_quality_score"] = r"""

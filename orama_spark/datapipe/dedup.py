@@ -90,16 +90,19 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 500,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similar pairs (id_a < id_b, jaccard >= t).
 
     Algorithm: explode distinct shingles -> self-equi-join on shingle
-    (counts shared shingles per pair) -> jaccard = shared/(|A|+|B|-shared).
+    (counts shared shingles per pair) -> jaccard = shared/(|A|+|B|-shingle).
     ``max_shingle_df`` drops shingles occurring in more than that many
-    docs before the join (bounded work per shingle; at web scale set it
-    to a few hundred — ultra-common shingles are boilerplate and cannot
-    push a pair over a meaningful threshold on their own).
+    docs before the join — the guard against the quadratic blowup a
+    boilerplate shingle causes at 100 TB (a df-D shingle alone creates
+    D^2/2 candidate pairs). Default 500: a dropped shingle can only
+    LOWER a pair's computed Jaccard, and pairs above a meaningful
+    threshold share many rarer shingles; pass None to disable (exact
+    but unbounded per-shingle work).
     """
     sh = docs.select(
         F.col(id_col).alias("id"),
@@ -159,19 +162,24 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>[n_hashes]) MinHash signatures.
 
-    Shingling + xxhash64 stay JVM-side (one transform); the n_hashes
-    min((a*x+b) mod p) reductions run as ONE Arrow-vectorized kernel
-    (numpy outer product per batch) — n_hashes separate higher-order
-    expressions would blow past the codegen limits and fall back to
-    interpreted evaluation, ~100x slower."""
+    ONE Arrow kernel per batch: canonicalize -> k-gram FNV-1a hashes
+    (portable_hash.py, bit-exact reproducible in DuckDB SQL — this is
+    what gives the LSH driver query a value-level oracle) folded to 32
+    bits -> n_hashes min((a*x+b) mod p) reductions as a numpy outer
+    product. Only the text column crosses Arrow."""
+    import re
+
     from pyspark.sql.types import ArrayType, LongType
+
+    from .portable_hash import kgram_hashes
 
     coeffs = _minhash_coeffs(n_hashes)
     A = [a for a, _ in coeffs]
     B = [b for _, b in coeffs]
+    ws_re = re.compile(r"[\t\n\f\r ]+")
 
     @F.pandas_udf(ArrayType(LongType()))
-    def _sig(hashes: pd.Series) -> pd.Series:
+    def _sig(texts: pd.Series) -> pd.Series:
         import numpy as np
 
         a = np.array(A, dtype=np.uint64)[:, None]
@@ -179,20 +187,21 @@ def minhash_signatures(
         p = np.uint64(_P)
         sentinel = [int(_P)] * len(A)
 
-        def one(arr):
-            if arr is None or len(arr) == 0:
+        def one(t):
+            if t is None:
                 return sentinel
+            canon = ws_re.sub(" ", t.strip(" "))
+            hs = kgram_hashes(canon, shingle_k)
+            if len(hs) == 0:
+                return sentinel
+            # distinct shingle set (min unaffected, work reduced);
             # x < 2^32 and a < 2^31 so a*x + b < 2^63: exact in uint64
-            x = np.asarray(arr, dtype=np.uint64)[None, :]
+            x = np.unique(hs & np.int64(_MASK32)).astype(np.uint64)[None, :]
             return ((a * x + b) % p).min(axis=1).astype(np.int64).tolist()
 
-        return hashes.map(one)
+        return texts.map(one)
 
-    sh = F.transform(
-        char_shingles(F.col(text_col), shingle_k),
-        lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK32)),
-    )
-    return docs.select(F.col(id_col).alias("id"), _sig(sh).alias("sig"))
+    return docs.select(F.col(id_col).alias("id"), _sig(F.col(text_col)).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -215,6 +224,9 @@ def minhash_lsh_pairs(
     assert n_hashes % bands == 0
     r = n_hashes // bands
     sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_k)
+    # bucket key = the band's raw minhash subvector (joined on equality
+    # — a hash of it would only add collision-induced candidates and
+    # break oracle reproducibility; the string key is ~r*20 bytes)
     buckets = sigs.select(
         "id",
         "sig",
@@ -223,9 +235,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", F.slice("sig", bi * r + 1, r))
-                        ).alias("bh"),
+                        F.concat_ws(",", F.slice("sig", bi * r + 1, r)).alias("bh"),
                     )
                     for bi in range(bands)
                 ]
@@ -268,27 +278,42 @@ def simhash64(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, simhash: bigint) — 64-bit SimHash over whitespace tokens.
-    Per bit j: sign of sum over tokens of (+1 if bit j of xxhash64(token)
-    else -1); all via explode + 64 conditional sums (partial-aggregated)."""
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(canonical_text(F.col(text_col)), " ")).alias("tok"),
-    ).select("id", F.xxhash64("tok").alias("h"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(64)
-    ]
-    sums = toks.groupBy("id").agg(*aggs)
-    sim = F.lit(0).cast("long")
-    for j in range(64):
-        # bit 63 is the sign bit in two's complement
-        bit_val = F.lit(1 << j).cast("long") if j < 63 else F.lit(-(1 << 63)).cast("long")
-        sim = sim.bitwiseOR(
-            F.when(F.col(f"b{j}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
-        )
-    return sums.select("id", sim.alias("simhash"))
+    Per bit j: sign of sum over tokens of (+1 if bit j of fnv64(token)
+    else -1). ONE Arrow kernel per batch (token FNV-1a + bit sums as a
+    64x n_tokens numpy matrix) — per-doc work, map-only, no shuffle;
+    the portable hash makes the driver query DuckDB-oracle-able.
+    Empty/whitespace-only/null text -> simhash 0."""
+    import re
+
+    from pyspark.sql.types import LongType
+
+    from .portable_hash import token_hashes
+
+    ws_re = re.compile(r"[\t\n\f\r ]+")
+
+    @F.pandas_udf(LongType())
+    def _sim(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        shifts = np.arange(64, dtype=np.uint64)
+
+        def one(t):
+            if t is None:
+                return 0
+            canon = ws_re.sub(" ", t.strip(" "))
+            toks = canon.split(" ") if canon else []
+            if not toks:
+                return 0
+            hs = token_hashes(toks).view(np.uint64)
+            # bits[j] = count of tokens with bit j set
+            bits = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            pos = (2 * bits) > len(toks)  # sum(+1/-1) > 0
+            val = sum(1 << j for j in range(64) if pos[j])
+            return val - (1 << 64) if val >= (1 << 63) else val  # as int64
+
+        return texts.map(one)
+
+    return docs.select(F.col(id_col).alias("id"), _sim(F.col(text_col)).alias("simhash"))
 
 
 def simhash_pairs(
@@ -343,17 +368,28 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 16,
     seed: int = 11,
+    planes=None,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Cosine near-dup pairs (>= threshold) via random-hyperplane LSH:
     sign-bit sketch -> bucket join on the full sketch -> exact cosine
     verify. High thresholds => near-identical sketches, so a single
-    16-bit bucket has high recall; verification is exact."""
+    16-bit bucket has high recall; verification is exact.
+
+    ``planes``: pass an explicit (n_planes, dim) array to make the
+    sketch reproducible outside Spark (the driver oracle embeds the
+    same literals in SQL). ``max_bucket_size`` caps degenerate buckets
+    (e.g. all-zero embeddings share one sketch) before the quadratic
+    within-bucket join — the 100 TB guard."""
     import numpy as np
 
-    rng = np.random.default_rng(seed)
-    first = embeddings.select(F.size(vec_col).alias("d")).first()
-    dim = first["d"]
-    planes = rng.standard_normal((n_planes, dim))
+    if planes is None:
+        rng = np.random.default_rng(seed)
+        first = embeddings.select(F.size(vec_col).alias("d")).first()
+        planes = rng.standard_normal((n_planes, first["d"]))
+    else:
+        planes = np.asarray(planes, dtype=np.float64)
+        n_planes = planes.shape[0]
     sketch = F.concat(
         *[
             F.when(
@@ -375,6 +411,15 @@ def embedding_dup_pairs(
     e = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sketch.alias("sk")
     )
+    # hot-bucket cap (partial-aggregated count + semi-join, same shape
+    # as the minhash/simhash guards)
+    ok = (
+        e.groupBy("sk")
+        .agg(F.count("*").alias("bsz"))
+        .where(F.col("bsz") <= max_bucket_size)
+        .select("sk")
+    )
+    e = e.join(ok, "sk", "left_semi")
     a = e.alias("a")
     b = e.alias("b")
     dot = F.aggregate(

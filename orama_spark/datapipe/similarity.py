@@ -53,25 +53,50 @@ def ivf_build(
     sample: int = 2048,
     iters: int = 5,
     seed: int = 3,
+    init: str = "kmeans",
 ):
-    """Deterministic mini k-means on a driver-side sample -> centroids;
-    returns (assigned_df with 'centroid' column, centroids ndarray).
-    The assignment is a pure expression (argmax of dot products), so the
-    bucketed index can be written partitionBy('centroid') and queries
-    prune partitions."""
-    rows = embeddings.select(vec_col).limit(sample).collect()
-    x = _norm_rows(np.array([r[0] for r in rows], dtype=np.float64))
-    rng = np.random.default_rng(seed)
-    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
-    for _ in range(iters):
-        assign = np.argmax(x @ cents.T, axis=1)
-        for c in range(len(cents)):
-            members = x[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                nv = np.linalg.norm(v)
-                if nv > 0:
-                    cents[c] = v / nv
+    """Centroids + bucketed assignment; returns (assigned_df with a
+    'centroid' column, centroids ndarray). The assignment is a pure
+    expression (argmax of cosines), so the bucketed index can be
+    written partitionBy('centroid') and queries prune partitions.
+
+    init='kmeans' (default): mini k-means on a RANDOM driver-side
+    sample — df.sample() spans all partitions (a limit().collect()
+    would take the first partition's rows and learn one shard's
+    distribution at scale). init='by_id': centroids are the embeddings
+    of the n_centroids smallest ids — fully deterministic AND
+    reproducible in plain SQL, which is what gives the ANN driver query
+    a value-level DuckDB oracle (k-means quality is better; the scale
+    structure — bucketed index, pruned probe — is identical)."""
+    if init == "by_id":
+        rows = (
+            embeddings.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(n_centroids)
+            .collect()
+        )
+        cents = np.array([r[1] for r in rows], dtype=np.float64)
+    else:
+        n_total = embeddings.count()
+        frac = min(1.0, (sample * 1.25) / max(n_total, 1))
+        rows = (
+            embeddings.select(vec_col)
+            .sample(fraction=frac, seed=seed)
+            .limit(sample)
+            .collect()
+        )
+        x = _norm_rows(np.array([r[0] for r in rows], dtype=np.float64))
+        rng = np.random.default_rng(seed)
+        cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+        for _ in range(iters):
+            assign = np.argmax(x @ cents.T, axis=1)
+            for c in range(len(cents)):
+                members = x[assign == c]
+                if len(members):
+                    v = members.mean(axis=0)
+                    nv = np.linalg.norm(v)
+                    if nv > 0:
+                        cents[c] = v / nv
     sims = [
         F.struct(
             cosine_sim(F.col(vec_col), cents[c]).alias("sim"),
@@ -92,10 +117,13 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Probe the nprobe nearest centroid buckets, exact re-rank inside."""
+    """Probe the nprobe nearest centroid buckets, exact re-rank inside.
+    Centroids are row-normalized before ranking so the probe order is
+    by COSINE regardless of init (by_id centroids are unnormalized);
+    ties break on centroid id asc (argsort is stable)."""
     q = np.asarray(query, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)
-    order = np.argsort(-(centroids @ qn))
+    order = np.argsort(-(_norm_rows(np.asarray(centroids, dtype=np.float64)) @ qn))
     probe = [int(c) for c in order[:nprobe]]
     return (
         assigned.where(F.col("centroid").isin(probe))

@@ -28,11 +28,42 @@ from .diacritics import replace_diacritics
 from .stemmer import stem as porter_stem
 from .stopwords_en import STOPWORDS_EN
 
-# Split regex for English (languages.ts:36): /[^A-Za-zàèéìòóù0-9_'-]+/gim
-# Input is lowercased before the split, so the effective class keeps
-# a-z, the 7 accented chars, digits, '_', "'", '-'.
+# Per-language split regexes — exact ports of SPLITTERS
+# (tokenizer/languages.ts:34-65). JS /gim flags: only `i` matters for a
+# character-class split (g/m are match-iteration flags); input is
+# lowercased before the split. NOTE portuguese has NO `+` quantifier in
+# the reference — kept verbatim (empty tokens are filtered later).
 SPLITTERS: dict[str, re.Pattern] = {
-    "english": re.compile(r"[^a-zA-Zàèéìòóù0-9_'-]+", re.IGNORECASE),
+    "dutch": re.compile(r"[^A-Za-zàèéìòóù0-9_'-]+", re.IGNORECASE),
+    "english": re.compile(r"[^A-Za-zàèéìòóù0-9_'-]+", re.IGNORECASE),
+    "french": re.compile(r"[^a-z0-9äâàéèëêïîöôùüûœç-]+", re.IGNORECASE),
+    "italian": re.compile(r"[^A-Za-zàèéìòóù0-9_'-]+", re.IGNORECASE),
+    "norwegian": re.compile(r"[^a-z0-9_æøåÆØÅäÄöÖüÜ]+", re.IGNORECASE),
+    "portuguese": re.compile(r"[^a-z0-9à-úÀ-Ú]", re.IGNORECASE),
+    "russian": re.compile(r"[^a-z0-9а-яА-ЯёЁ]+", re.IGNORECASE),
+    "spanish": re.compile(r"[^a-z0-9A-Zá-úÁ-ÚñÑüÜ]+", re.IGNORECASE),
+    "swedish": re.compile(r"[^a-z0-9_åÅäÄöÖüÜ-]+", re.IGNORECASE),
+    "german": re.compile(r"[^a-z0-9A-ZäöüÄÖÜß]+", re.IGNORECASE),
+    "finnish": re.compile(r"[^a-z0-9äöÄÖ]+", re.IGNORECASE),
+    "danish": re.compile(r"[^a-z0-9æøåÆØÅ]+", re.IGNORECASE),
+    "hungarian": re.compile(r"[^a-z0-9áéíóöőúüűÁÉÍÓÖŐÚÜŰ]+", re.IGNORECASE),
+    "romanian": re.compile(r"[^a-z0-9ăâîșțĂÂÎȘȚ]+", re.IGNORECASE),
+    "serbian": re.compile(r"[^a-z0-9čćžšđČĆŽŠĐ]+", re.IGNORECASE),
+    "turkish": re.compile(r"[^a-z0-9çÇğĞıİöÖşŞüÜ]+", re.IGNORECASE),
+    "lithuanian": re.compile(r"[^a-z0-9ąčęėįšųūžĄČĘĖĮŠŲŪŽ]+", re.IGNORECASE),
+    "arabic": re.compile(r"[^a-z0-9أ-ي]+", re.IGNORECASE),
+    "nepali": re.compile(r"[^a-z0-9अ-ह]+", re.IGNORECASE),
+    "irish": re.compile(r"[^a-z0-9áéíóúÁÉÍÓÚ]+", re.IGNORECASE),
+    "indian": re.compile(r"[^a-z0-9अ-ह]+", re.IGNORECASE),
+    "armenian": re.compile(r"[^a-z0-9ա-ֆ]+", re.IGNORECASE),
+    "greek": re.compile(r"[^a-z0-9α-ωά-ώ]+", re.IGNORECASE),
+    "indonesian": re.compile(r"[^a-z0-9]+", re.IGNORECASE),
+    "ukrainian": re.compile(r"[^a-z0-9а-яА-ЯіїєІЇЄ]+", re.IGNORECASE),
+    "slovenian": re.compile(r"[^a-z0-9čžšČŽŠ]+", re.IGNORECASE),
+    "bulgarian": re.compile(r"[^a-z0-9а-яА-Я]+", re.IGNORECASE),
+    "tamil": re.compile(r"[^a-z0-9அ-ஹ]+", re.IGNORECASE),
+    "sanskrit": re.compile(r"[^a-z0-9A-Zāīūṛḷṃṁḥśṣṭḍṇṅñḻḹṝ]+", re.IGNORECASE),
+    "czech": re.compile(r"[^A-Z0-9a-zěščřžýáíéúůóťďĚŠČŘŽÝÁÍÉÓÚŮŤĎ-]+", re.IGNORECASE),
 }
 
 SUPPORTED_LANGUAGES = list(SPLITTERS.keys())
