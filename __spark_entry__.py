@@ -140,6 +140,35 @@ TAGS_CONFIG = IndexConfig(
 _TAGS_CACHE: dict[str, SearchIndex] = {}
 
 
+# German-splitter index over the lang='de' slice (multi-language
+# tokenizer registry, languages.ts:34-65 — language selects the split
+# regex; stemming stays opt-in as in the reference)
+DE_CONFIG = IndexConfig(
+    schema={"text": "string"},
+    tokenizer=TokenizerConfig(language="german"),
+    docid_col="docid",
+)
+_DE_CACHE: dict[str, SearchIndex] = {}
+
+
+def _get_de_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    idx = _DE_CACHE.get(sf_dir)
+    if idx is not None:
+        return idx
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .where(F.col("lang") == "de")
+        .select(F.col("doc_id").alias("docid"), "text")
+    )
+    out = os.path.join(
+        "/dev/shm/orama_spark_entry_deidx", os.path.basename(os.path.normpath(sf_dir))
+    )
+    IndexBuilder(DE_CONFIG).build(df, out, input_id=sf_dir)
+    idx = SearchIndex.load(spark, out, DE_CONFIG)
+    _DE_CACHE[sf_dir] = idx
+    return idx
+
+
 def _get_tags_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     idx = _TAGS_CACHE.get(sf_dir)
     if idx is not None:
@@ -195,17 +224,19 @@ def _r(col: str = "score"):
 
 
 # Shared SQL CTE prologue: tokenize + BM25 stats over `documents`.
-def _sql_prologue() -> str:
+def _sql_prologue(split: str = SQL_SPLIT, doc_where: str = "") -> str:
+    w = f"WHERE {doc_where}" if doc_where else ""
     return f"""
-WITH tok AS (
+WITH docs_in AS (SELECT * FROM documents {w}),
+tok AS (
   SELECT doc_id,
          unnest(list_distinct(list_filter(
-           regexp_split_to_array(lower(text), '{SQL_SPLIT}'), x -> x <> ''))) AS term
-  FROM documents
+           regexp_split_to_array(lower(text), '{split}'), x -> x <> ''))) AS term
+  FROM docs_in
 ),
 meta AS (SELECT doc_id, count(*) AS fl FROM tok GROUP BY doc_id),
 stats AS (
-  SELECT (SELECT count(*) FROM documents) AS n,
+  SELECT (SELECT count(*) FROM docs_in) AS n,
          (SELECT avg(fl) FROM meta) AS avgfl
 ),
 dfreq AS (SELECT term, count(*) AS df FROM tok GROUP BY term)
@@ -260,7 +291,8 @@ def _q_topk(term, **kw):
 
 
 def _sql_topk(term: str, cond: str = "tok.term = qt.qtoken", limit: int = 10,
-              and_mode: bool = False, where_doc: str = "") -> str:
+              and_mode: bool = False, where_doc: str = "",
+              split: str = SQL_SPLIT, doc_where: str = "") -> str:
     toks = _tokens(term)
     conds = ["1=1"]
     if and_mode and len(toks) > 1:
@@ -272,7 +304,7 @@ def _sql_topk(term: str, cond: str = "tok.term = qt.qtoken", limit: int = 10,
     if where_doc:
         conds.append(f"docid IN (SELECT doc_id FROM documents WHERE {where_doc})")
     return (
-        _sql_prologue()
+        _sql_prologue(split=split, doc_where=doc_where)
         + _sql_matches(cond, toks)
         + f"""
 SELECT docid, round(score, 6) AS score
@@ -411,6 +443,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "coordinates": _GEO_CENTER, "value": 3000, "unit": "km"}}}, limit=10)
         return sr.top_df().select("docid", _r())
     q["flt_geo_filter"] = geo_filter_term
+
+    # multi-language: German splitter over the lang='de' slice
+    def flt_lang_de(spark, sf_dir):
+        idx = _get_de_index(spark, sf_dir)
+        sr = idx.search(term="merge stream", limit=10)
+        return sr.top_df().select("docid", _r())
+    q["flt_lang_de"] = flt_lang_de
 
     # string[] searchable field (index.ts:260-301 per-element insert)
     def string_array_search(spark, sf_dir):
@@ -758,6 +797,14 @@ LIMIT 100
             f"doc_id IN (SELECT doc_id FROM (SELECT doc_id, {_GEO_LAT} AS lat, "
             f"{_GEO_LON} AS lon FROM documents) g WHERE {_dist_c} <= {_r_m!r})"
         ),
+    )
+
+    # German split class (languages.ts:43, lowered input: a-z 0-9 äöüß)
+    sql["flt_lang_de"] = _sql_topk(
+        "merge stream",
+        cond=PREFIX_COND,
+        split="[^a-z0-9äöüß]+",
+        doc_where="lang = 'de'",
     )
 
     # string[]: tags = [lang, source]; fl = len(LAST element's tokens)

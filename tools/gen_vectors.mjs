@@ -31,6 +31,9 @@ function stripTypes(src) {
     .replace(/\(charCode: number\)/g, '(charCode)')
     .replace(/\(str: string\)/g, '(str)')
     .replace(/: number(?![\w[])/g, '')
+    .replace(/: Record<[^>]*>/g, '')
+    .replace(/\(language: string \| undefined\)/g, '(language)')
+    .replace(/^export type .*$/gm, '')
     .replace(/: string(?![\w[])/g, '')
     .replace(/: BoundedMetric/g, '')
 }
@@ -129,6 +132,52 @@ for (const text of texts) {
   })
 }
 writeFileSync('/root/repo/tests/vectors/tokenizer.json', JSON.stringify(tokVectors, null, 1))
+
+// multi-language tokenizer vectors: every SPLITTERS regex from the
+// reference (languages.ts:34-65), plain profile (language selects ONLY
+// the splitter in Orama's default tokenizer; stemmers are opt-in)
+const { SPLITTERS } = await loadRef('components/tokenizer/languages.ts', 'languages')
+
+function tokenizeLang(input, language) {
+  let tokens = input
+    .toLowerCase()
+    .split(SPLITTERS[language])
+    .map((t) => replaceDiacritics(t))
+    .filter(Boolean)
+  while (tokens[tokens.length - 1] === '') tokens.pop()
+  while (tokens[0] === '') tokens.shift()
+  return Array.from(new Set(tokens))
+}
+
+const langTexts = {
+  german: ['Die schnelle braune Füchsin springt über den faulen Hund! Straße, Größe & Co.',
+           'Über ÄÖÜ äöü ß — 4x4 foo_bar'],
+  french: ["L'été dernier, où étais-tu ? Cœur brûlé, naïve façade, déjà-vu!",
+           'çà-et-là äâàéèëêïîöôùüûœç 123'],
+  spanish: ['El niño pequeño comió mañana — ¿qué pasó? ¡Árbol útil!',
+            'á-ú Á-Ú ñÑ üÜ 4x4'],
+  italian: ["L'aquila vola già sull'altopiano però perché città",
+            'àèéìòóù ÀÈÉÌÒÓÙ foo-bar'],
+  portuguese: ['São Paulo é ótimo: ação, coração, vovô àquela hora',
+               'à-ú À-Ú 4x4 a1b2'],
+  russian: ['Быстрая коричневая лиса прыгает через ленивую собаку! Ёлка, её мёд.',
+            'абв АБВ ёЁ 123 abc'],
+  greek: ['Η γρήγορη καφέ αλεπού πηδά πάνω από το τεμπέλικο σκυλί! Ώρα ώρα.',
+          'αβγ ΑΒΓ ά-ώ 123'],
+  turkish: ['Hızlı kahverengi tilki tembel köpeğin üstünden atlar! Iğdır İstanbul.',
+            'çğıöşü ÇĞIİÖŞÜ 123'],
+  indonesian: ['Rubah cokelat cepat melompati anjing malas! 123 foo-bar_baz'],
+  ukrainian: ['Швидка руда лисиця стрибає через ледачого пса! Київ, її, єдиний.'],
+  czech: ['Rychlá hnědá liška skáče přes líného psa! Žluťoučký kůň úpěl ďábelské ódy.'],
+  arabic: ['الثعلب البني السريع يقفز فوق الكلب الكسول 123 abc'],
+}
+const langVectors = []
+for (const [language, texts2] of Object.entries(langTexts)) {
+  for (const text of texts2) {
+    langVectors.push({ language, text, tokens: tokenizeLang(text, language) })
+  }
+}
+writeFileSync('/root/repo/tests/vectors/tokenizer_langs.json', JSON.stringify(langVectors, null, 1))
 
 // levenshtein vectors: prefix special cases + DP + early-exit edges
 const levCases = []
