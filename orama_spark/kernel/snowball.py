@@ -1,0 +1,867 @@
+"""Snowball stemmers for German / French / Spanish / Italian.
+
+Implemented from the PUBLIC Snowball algorithm descriptions
+(snowballstem.org/algorithms/{german,french,spanish,italian}/stemmer.html)
+— not transliterations of the reference's generated JS — and verified
+token-for-token against the reference's compiled stemmers
+(/root/reference/packages/stemmers/lib/{de,fr,es,it}.js) via golden
+vectors (tests/vectors/stemmer_langs.json, tools/gen_vectors.mjs).
+
+Each ``stem_xx(word)`` expects a lowercased word.
+"""
+
+from __future__ import annotations
+
+# --------------------------------------------------------------- helpers
+
+def _r1_r2(word: str, vowels: str) -> tuple[int, int]:
+    """Standard R1/R2: R1 = region after the first non-vowel following
+    a vowel; R2 = same again within R1. Returned as start offsets
+    (len(word) when absent)."""
+    n = len(word)
+
+    def region(start: int) -> int:
+        i = start
+        while i < n and word[i] not in vowels:
+            i += 1
+        while i < n and word[i] in vowels:
+            i += 1
+        while i < n and word[i] not in vowels:
+            i += 1
+        return min(i + 1, n) if i < n else n
+
+    # find first vowel, then first non-vowel after it
+    i = 0
+    while i < n and word[i] not in vowels:
+        i += 1
+    while i < n and word[i] in vowels:
+        i += 1
+    r1 = i + 1 if i < n else n
+    j = r1
+    while j < n and word[j] not in vowels:
+        j += 1
+    while j < n and word[j] in vowels:
+        j += 1
+    r2 = j + 1 if j < n else n
+    return r1, r2
+
+
+def _in(region_start: int, word_len: int, suffix_len: int) -> bool:
+    """Whole suffix lies inside the region starting at region_start."""
+    return word_len - suffix_len >= region_start
+
+
+# ================================================================ German
+
+_DE_VOWELS = "aeiouyäöü"
+_DE_S_END = "bdfghklmnrt"
+_DE_ST_END = "bdfghklmnt"
+
+
+def stem_de(word: str) -> str:
+    """Snowball German."""
+    w = word.replace("ß", "ss")
+    # mark u/y between vowels as consonant (upper)
+    chars = list(w)
+    for i in range(1, len(chars) - 1):
+        if chars[i] == "u" and w[i - 1] in _DE_VOWELS and w[i + 1] in _DE_VOWELS:
+            chars[i] = "U"
+        if chars[i] == "y" and w[i - 1] in _DE_VOWELS and w[i + 1] in _DE_VOWELS:
+            chars[i] = "Y"
+    w = "".join(chars)
+
+    r1, r2 = _r1_r2(w, _DE_VOWELS)  # marked U/Y count as consonants
+    r1 = max(r1, 3)  # region before R1 must hold >= 3 letters
+
+    def in_r1(slen: int) -> bool:
+        return _in(r1, len(w), slen)
+
+    def in_r2(slen: int) -> bool:
+        return _in(r2, len(w), slen)
+
+    # step 1
+    for suf in ("ern", "em", "er"):
+        if w.endswith(suf):
+            if in_r1(len(suf)):
+                w = w[: -len(suf)]
+            break
+    else:
+        for suf in ("en", "es", "e"):
+            if w.endswith(suf):
+                if in_r1(len(suf)):
+                    w = w[: -len(suf)]
+                    if w.endswith("niss"):
+                        w = w[:-1]
+                break
+        else:
+            if w.endswith("s") and len(w) >= 2 and w[-2] in _DE_S_END:
+                if in_r1(1):
+                    w = w[:-1]
+
+    # step 2
+    for suf in ("est", "en", "er"):
+        if w.endswith(suf):
+            if in_r1(len(suf)):
+                w = w[: -len(suf)]
+            break
+    else:
+        if w.endswith("st") and len(w) >= 6 and w[-3] in _DE_ST_END:
+            if in_r1(2):
+                w = w[:-2]
+
+    # step 3 (d-suffixes)
+    if w.endswith("end") or w.endswith("ung"):
+        if in_r2(3):
+            w = w[:-3]
+            if w.endswith("ig") and in_r2(2) and (len(w) < 3 or w[-3] != "e"):
+                w = w[:-2]
+    elif w.endswith("isch"):
+        if in_r2(4) and (len(w) < 5 or w[-5] != "e"):
+            w = w[:-4]
+    elif w.endswith("ig") or w.endswith("ik"):
+        if in_r2(2) and (len(w) < 3 or w[-3] != "e"):
+            w = w[:-2]
+    elif w.endswith("lich") or w.endswith("heit"):
+        if in_r2(4):
+            w = w[:-4]
+            if (w.endswith("er") or w.endswith("en")) and in_r1(2):
+                w = w[:-2]
+    elif w.endswith("keit"):
+        if in_r2(4):
+            w = w[:-4]
+            if w.endswith("lich") and in_r2(4):
+                w = w[:-4]
+            elif w.endswith("ig") and in_r2(2):
+                w = w[:-2]
+
+    out = []
+    for ch in w:
+        if ch == "U":
+            out.append("u")
+        elif ch == "Y":
+            out.append("y")
+        elif ch == "ä":
+            out.append("a")
+        elif ch == "ö":
+            out.append("o")
+        elif ch == "ü":
+            out.append("u")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+# ================================================================ French
+
+_FR_VOWELS = "aeiouyâàëéêèïîôûù"
+
+
+def _fr_rv(w: str) -> int:
+    n = len(w)
+    if n >= 3 and w[0] in _FR_VOWELS and w[1] in _FR_VOWELS:
+        return 3
+    if w[:3] in ("par", "col", "tap"):
+        return 3
+    i = 1
+    while i < n and w[i] not in _FR_VOWELS:
+        i += 1
+    # w[i] is a vowel not at start; RV after it
+    return i + 1 if i < n else n
+
+
+def stem_fr(word: str) -> str:
+    """Snowball French."""
+    # prelude (repeat goto, french.sbl): sequential left-to-right over
+    # the EVOLVING string — a char already marked uppercase is a
+    # consonant for later positions (e.g. "payie" -> "paYie", the i is
+    # NOT marked because its left neighbor is now Y)
+    chars = list(word)
+    n = len(chars)
+    c = 0
+    while c < n:
+        ch = chars[c]
+        if ch in _FR_VOWELS and c + 1 < n:
+            nx = chars[c + 1]
+            if nx == "u" and c + 2 < n and chars[c + 2] in _FR_VOWELS:
+                chars[c + 1] = "U"
+                c += 2
+                continue
+            if nx == "i" and c + 2 < n and chars[c + 2] in _FR_VOWELS:
+                chars[c + 1] = "I"
+                c += 2
+                continue
+            if nx == "y":
+                chars[c + 1] = "Y"
+                c += 2
+                continue
+        if ch == "ë":  # newer french.sbl: 'ë' -> 'He', 'ï' -> 'Hi'
+            chars[c:c + 1] = ["H", "e"]
+            n += 1
+            c += 2
+            continue
+        if ch == "ï":
+            chars[c:c + 1] = ["H", "i"]
+            n += 1
+            c += 2
+            continue
+        if ch == "y" and c + 1 < n and chars[c + 1] in _FR_VOWELS:
+            chars[c] = "Y"
+            c += 1
+            continue
+        if ch == "q" and c + 1 < n and chars[c + 1] == "u":
+            chars[c + 1] = "U"
+            c += 2
+            continue
+        c += 1
+    w = "".join(chars)
+
+    rv = _fr_rv(w)  # marked U/I/Y count as consonants
+    r1, r2 = _r1_r2(w, _FR_VOWELS)
+
+    def in_rv(slen: int) -> bool:
+        return _in(rv, len(w), slen)
+
+    def in_r1(slen: int) -> bool:
+        return _in(r1, len(w), slen)
+
+    def in_r2(slen: int) -> bool:
+        return _in(r2, len(w), slen)
+
+    original = w
+    step1_done = False
+    found_ment = False
+
+    # ---- step 1: standard suffix removal (longest match) ----
+    suffixes = sorted(
+        [
+            "ance", "iqUe", "isme", "able", "iste", "eux",
+            "ances", "iqUes", "ismes", "ables", "istes",
+            "atrice", "ateur", "ation", "atrices", "ateurs", "ations",
+            "logie", "logies", "usion", "ution", "usions", "utions",
+            "ence", "ences", "ement", "ements", "ité", "ités",
+            "if", "ive", "ifs", "ives", "eaux", "aux", "euse", "euses",
+            "issement", "issements", "amment", "emment", "ment", "ments",
+        ],
+        key=len,
+        reverse=True,
+    )
+    changed = False
+    for suf in suffixes:
+        if not w.endswith(suf):
+            continue
+        sl = len(suf)
+        base = w[:-sl]
+        if suf in ("ance", "iqUe", "isme", "able", "iste", "eux",
+                   "ances", "iqUes", "ismes", "ables", "istes"):
+            if in_r2(sl):
+                w, changed = base, True
+        elif suf in ("atrice", "ateur", "ation", "atrices", "ateurs", "ations"):
+            if in_r2(sl):
+                w, changed = base, True
+                if w.endswith("ic"):
+                    if _in(r2, len(w), 2):
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+        elif suf in ("logie", "logies"):
+            if in_r2(sl):
+                w, changed = base + "log", True
+        elif suf in ("usion", "ution", "usions", "utions"):
+            if in_r2(sl):
+                w, changed = base + "u", True
+        elif suf in ("ence", "ences"):
+            if in_r2(sl):
+                w, changed = base + "ent", True
+        elif suf in ("ement", "ements"):
+            if in_rv(sl):
+                w, changed = base, True
+                if w.endswith("iv") and _in(r2, len(w), 2):
+                    w = w[:-2]
+                    if w.endswith("at") and _in(r2, len(w), 2):
+                        w = w[:-2]
+                elif w.endswith("eus"):
+                    if _in(r2, len(w), 3):
+                        w = w[:-3]
+                    elif _in(r1, len(w), 3):
+                        w = w[:-3] + "eux"
+                elif w.endswith("abl") and _in(r2, len(w), 3):
+                    w = w[:-3]
+                elif w.endswith("iqU") and _in(r2, len(w), 3):
+                    w = w[:-3]
+                elif w.endswith("ièr") and _in(rv, len(w), 3):
+                    w = w[:-3] + "i"
+                elif w.endswith("Ièr") and _in(rv, len(w), 3):
+                    w = w[:-3] + "i"
+        elif suf in ("ité", "ités"):
+            if in_r2(sl):
+                w, changed = base, True
+                if w.endswith("abil"):
+                    if _in(r2, len(w), 4):
+                        w = w[:-4]
+                    else:
+                        w = w[:-4] + "abl"
+                elif w.endswith("ic"):
+                    if _in(r2, len(w), 2):
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+                elif w.endswith("iv") and _in(r2, len(w), 2):
+                    w = w[:-2]
+        elif suf in ("if", "ive", "ifs", "ives"):
+            if in_r2(sl):
+                w, changed = base, True
+                if w.endswith("at") and _in(r2, len(w), 2):
+                    w = w[:-2]
+                    if w.endswith("ic"):
+                        if _in(r2, len(w), 2):
+                            w = w[:-2]
+                        else:
+                            w = w[:-2] + "iqU"
+        elif suf == "eaux":
+            w, changed = base + "eau", True
+        elif suf == "aux":
+            if in_r1(sl):
+                w, changed = base + "al", True
+        elif suf in ("euse", "euses"):
+            if in_r2(sl):
+                w, changed = base, True
+            elif in_r1(sl):
+                w, changed = base + "eux", True
+        elif suf in ("issement", "issements"):
+            if in_r1(sl) and len(base) > 0 and base[-1] not in _FR_VOWELS:
+                w, changed = base, True
+        elif suf == "amment":
+            if in_rv(sl):
+                w, changed = base + "ant", True
+                found_ment = True
+        elif suf == "emment":
+            if in_rv(sl):
+                w, changed = base + "ent", True
+                found_ment = True
+        elif suf in ("ment", "ments"):
+            if len(base) > 0 and base[-1] in _FR_VOWELS and _in(rv, len(w), sl + 1):
+                w, changed = base, True
+                found_ment = True
+        break
+    step1_done = changed
+
+    # ---- step 2a: verb suffixes beginning i ----
+    do_2a = (not step1_done) or found_ment
+    step2a_done = False
+    step2b_done = False
+    if do_2a:
+        i_sufs = sorted(
+            ["îmes", "ît", "îtes", "i", "ie", "ies", "ir", "ira", "irai",
+             "iraIent", "irais", "irait", "iras", "irent", "irez", "iriez",
+             "irions", "irons", "iront", "is", "issaIent", "issais",
+             "issait", "issant", "issante", "issantes", "issants", "isse",
+             "issent", "isses", "issez", "issiez", "issions", "issons",
+             "it"],
+            key=len, reverse=True,
+        )
+        for suf in i_sufs:
+            sl = len(suf)
+            # the among is inside setlimit-to-RV: a suffix extending
+            # beyond RV does not MATCH and shorter ones are tried
+            if not w.endswith(suf) or not _in(rv, len(w), sl):
+                continue
+            base = w[:-sl]
+            # action condition: preceded by a non-vowel, itself in RV
+            if (_in(rv, len(w), sl + 1) and len(base) > 0
+                    and base[-1] not in _FR_VOWELS and base[-1] != "H"):
+                w = base
+                step2a_done = True
+            break
+        if not step2a_done:
+            # ---- step 2b ----
+            b_sufs = sorted(
+                ["ions", "é", "ée", "ées", "és", "èrent", "er", "era",
+                 "erai", "eraIent", "erais", "erait", "eras", "erez",
+                 "eriez", "erions", "erons", "eront", "ez", "iez",
+                 "âmes", "ât", "âtes", "a", "ai", "aIent", "ais", "ait",
+                 "ant", "ante", "antes", "ants", "as", "asse", "assent",
+                 "asses", "assiez", "assions"],
+                key=len, reverse=True,
+            )
+            for suf in b_sufs:
+                sl = len(suf)
+                if not w.endswith(suf) or not _in(rv, len(w), sl):
+                    continue
+                base = w[:-sl]
+                if suf == "ions":
+                    if in_r2(sl):
+                        w = base
+                        step2b_done = True
+                elif suf in ("é", "ée", "ées", "és", "èrent", "er", "era",
+                             "erai", "eraIent", "erais", "erait", "eras",
+                             "erez", "eriez", "erions", "erons", "eront",
+                             "ez", "iez"):
+                    w = base
+                    step2b_done = True
+                else:
+                    w = base
+                    step2b_done = True
+                    if w.endswith("e") and _in(rv, len(w), 1):
+                        w = w[:-1]
+                break
+
+    # ---- step 3 / step 4 ----
+    if step1_done or step2a_done or step2b_done:
+        # step 3
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # step 4 — the suffix match itself is limited to RV
+        # (setlimit tomark pV in the Snowball source): a suffix that
+        # extends beyond RV does not match and shorter ones are tried
+        if w.endswith("s") and len(w) >= 2 and (
+            w[-2] not in "aiouès" or w[-3:-1] == "Hi"
+        ):
+            w = w[:-1]
+        for suf in ("ière", "Ière", "ion", "ier", "Ier", "e"):
+            if not w.endswith(suf) or not _in(rv, len(w), len(suf)):
+                continue
+            if suf == "ion":
+                if _in(r2, len(w), 3) and len(w) >= 4 and w[-4] in "st":
+                    w = w[:-3]
+            elif suf in ("ière", "Ière", "ier", "Ier"):
+                w = w[: -len(suf)] + "i"
+            elif suf == "e":
+                w = w[:-1]
+            break
+
+    # ---- step 5: undouble ----
+    for dbl in ("enn", "onn", "ett", "ell", "eill"):
+        if w.endswith(dbl):
+            w = w[:-1]
+            break
+
+    # ---- step 6: un-accent ----
+    i = len(w) - 1
+    seen_nonvowel = 0
+    while i >= 0:
+        ch6 = w[i]
+        if ch6 in _FR_VOWELS:  # marked U/I/Y count as NON-vowels here
+            break
+        seen_nonvowel += 1
+        i -= 1
+    if i >= 0 and seen_nonvowel >= 1 and w[i] in "éè":
+        w = w[:i] + "e" + w[i + 1:]
+
+    out = []
+    i = 0
+    while i < len(w):
+        ch7 = w[i]
+        if ch7 == "H":
+            if i + 1 < len(w) and w[i + 1] == "e":
+                out.append("ë")
+                i += 2
+                continue
+            if i + 1 < len(w) and w[i + 1] == "i":
+                out.append("ï")
+                i += 2
+                continue
+            i += 1  # orphaned H (its vowel was stemmed away): delete
+            continue
+        out.append({"I": "i", "U": "u", "Y": "y"}.get(ch7, ch7))
+        i += 1
+    return "".join(out)
+
+
+# =============================================================== Spanish
+
+_ES_VOWELS = "aeiouáéíóúü"
+
+
+def _es_rv(w: str) -> int:
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in _ES_VOWELS:
+        # skip to next vowel after position 1
+        i = 2
+        while i < n and w[i] not in _ES_VOWELS:
+            i += 1
+        return i + 1 if i < n else n
+    if w[0] in _ES_VOWELS and w[1] in _ES_VOWELS:
+        i = 2
+        while i < n and w[i] in _ES_VOWELS:
+            i += 1
+        return i + 1 if i < n else n
+    # consonant-vowel start
+    return 3
+
+
+_ES_ACCENT = str.maketrans("áéíóú", "aeiou")
+
+
+def stem_es(word: str) -> str:
+    """Snowball Spanish."""
+    w = word
+    rv = _es_rv(w)
+    r1, r2 = _r1_r2(w, _ES_VOWELS)
+
+    def in_rv(slen: int, wl: int | None = None) -> bool:
+        return _in(rv, wl if wl is not None else len(w), slen)
+
+    def in_r1(slen: int, wl: int | None = None) -> bool:
+        return _in(r1, wl if wl is not None else len(w), slen)
+
+    def in_r2(slen: int, wl: int | None = None) -> bool:
+        return _in(r2, wl if wl is not None else len(w), slen)
+
+    # ---- step 0: attached pronoun ----
+    pronouns = ("selas", "selos", "sela", "selo", "las", "les", "los",
+                "nos", "me", "se", "la", "le", "lo")
+    pre_acute = ("iéndo", "ándo", "ár", "ér", "ír")
+    pre_plain = ("iendo", "ando", "ar", "er", "ir")
+    for p in pronouns:
+        if not w.endswith(p) or not _in(rv, len(w), len(p)):
+            continue
+        stem_part = w[: -len(p)]
+        matched = False
+        for pa, pp in zip(pre_acute, pre_plain):
+            if stem_part.endswith(pa) and _in(rv, len(stem_part), len(pa)):
+                w = stem_part[: -len(pa)] + pp
+                matched = True
+                break
+        if not matched:
+            for pp in pre_plain:
+                if stem_part.endswith(pp) and _in(rv, len(stem_part), len(pp)):
+                    w = stem_part
+                    matched = True
+                    break
+        if not matched and stem_part.endswith("uyendo") and _in(rv, len(stem_part), 5):
+            w = stem_part
+            matched = True
+        break
+
+    # ---- step 1: standard suffixes (longest match) ----
+    changed = False
+    s1 = sorted(
+        ["anza", "anzas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+         "able", "ables", "ible", "ibles", "ista", "istas", "oso", "osa",
+         "osos", "osas", "amiento", "amientos", "imiento", "imientos",
+         "adora", "ador", "ación", "adoras", "adores", "aciones",
+         "ante", "antes", "ancia", "ancias",
+         "logía", "logías", "ución", "uciones", "encia", "encias",
+         "amente", "mente", "idad", "idades",
+         "iva", "ivo", "ivas", "ivos"],
+        key=len, reverse=True,
+    )
+    for suf in s1:
+        if not w.endswith(suf):
+            continue
+        sl = len(suf)
+        base = w[:-sl]
+        if suf in ("anza", "anzas", "ico", "ica", "icos", "icas", "ismo",
+                   "ismos", "able", "ables", "ible", "ibles", "ista",
+                   "istas", "oso", "osa", "osos", "osas", "amiento",
+                   "amientos", "imiento", "imientos"):
+            if in_r2(sl):
+                w, changed = base, True
+        elif suf in ("adora", "ador", "ación", "adoras", "adores",
+                     "aciones", "ante", "antes", "ancia", "ancias"):
+            if in_r2(sl):
+                w, changed = base, True
+                if w.endswith("ic") and _in(r2, len(w), 2):
+                    w = w[:-2]
+        elif suf in ("logía", "logías"):
+            if in_r2(sl):
+                w, changed = base + "log", True
+        elif suf in ("ución", "uciones"):
+            if in_r2(sl):
+                w, changed = base + "u", True
+        elif suf in ("encia", "encias"):
+            if in_r2(sl):
+                w, changed = base + "ente", True
+        elif suf == "amente":
+            if in_r1(sl):
+                w, changed = base, True
+                if w.endswith("iv") and _in(r2, len(w), 2):
+                    w = w[:-2]
+                    if w.endswith("at") and _in(r2, len(w), 2):
+                        w = w[:-2]
+                elif w.endswith("os") and _in(r2, len(w), 2):
+                    w = w[:-2]
+                elif w.endswith("ic") and _in(r2, len(w), 2):
+                    w = w[:-2]
+                elif w.endswith("ad") and _in(r2, len(w), 2):
+                    w = w[:-2]
+        elif suf == "mente":
+            if in_r2(sl):
+                w, changed = base, True
+                for pre in ("ante", "able", "ible"):
+                    if w.endswith(pre) and _in(r2, len(w), 4):
+                        w = w[:-4]
+                        break
+        elif suf in ("idad", "idades"):
+            if in_r2(sl):
+                w, changed = base, True
+                for pre in ("abil", "ic", "iv"):
+                    if w.endswith(pre) and _in(r2, len(w), len(pre)):
+                        w = w[: -len(pre)]
+                        break
+        elif suf in ("iva", "ivo", "ivas", "ivos"):
+            if in_r2(sl):
+                w, changed = base, True
+                if w.endswith("at") and _in(r2, len(w), 2):
+                    w = w[:-2]
+        break
+
+    # ---- step 2a: verb suffixes beginning y (if step 1 did nothing) ----
+    if not changed:
+        done2a = False
+        y_sufs = sorted(["ya", "ye", "yan", "yen", "yeron", "yendo", "yo",
+                         "yó", "yas", "yes", "yais", "yamos"],
+                        key=len, reverse=True)
+        for suf in y_sufs:
+            if not w.endswith(suf) or not in_rv(len(suf)):
+                continue
+            base = w[: -len(suf)]
+            if base.endswith("u"):
+                w = base
+                done2a = True
+            break
+        # ---- step 2b ----
+        if not done2a:
+            gu_sufs = ("en", "es", "éis", "emos")
+            verb_sufs = sorted(
+                ["arían", "arías", "arán", "arás", "aríais", "aría",
+                 "aréis", "aríamos", "aremos", "ará", "aré", "erían",
+                 "erías", "erán", "erás", "eríais", "ería", "eréis",
+                 "eríamos", "eremos", "erá", "eré", "irían", "irías",
+                 "irán", "irás", "iríais", "iría", "iréis", "iríamos",
+                 "iremos", "irá", "iré", "aba", "ada", "ida", "ía",
+                 "ara", "iera", "ad", "ed", "id", "ase", "iese", "aste",
+                 "iste", "an", "aban", "ían", "aran", "ieran", "asen",
+                 "iesen", "aron", "ieron", "ado", "ido", "ando", "iendo",
+                 "ió", "ar", "er", "ir", "as", "abas", "adas", "idas",
+                 "ías", "aras", "ieras", "ases", "ieses", "ís", "áis",
+                 "abais", "íais", "arais", "ierais", "aseis", "ieseis",
+                 "asteis", "isteis", "ados", "idos", "amos", "ábamos",
+                 "íamos", "imos", "áramos", "iéramos", "iésemos",
+                 "ásemos", "en", "es", "éis", "emos"],
+                key=len, reverse=True,
+            )
+            for suf in verb_sufs:
+                if not w.endswith(suf) or not in_rv(len(suf)):
+                    continue
+                w = w[: -len(suf)]
+                if suf in gu_sufs and w.endswith("gu"):
+                    w = w[:-1]
+                break
+
+    # ---- step 3: residual ----
+    for suf in ("os", "a", "o", "á", "í", "ó"):
+        if w.endswith(suf) and in_rv(len(suf)):
+            w = w[: -len(suf)]
+            break
+    else:
+        if w.endswith("e") or w.endswith("é"):
+            if in_rv(1):
+                w = w[:-1]
+                if w.endswith("gu") and _in(rv, len(w) + 1, 2):
+                    # the u is in RV (checked against the pre-deletion
+                    # length: u sat at position len(w)-1)
+                    w = w[:-1]
+
+    return w.translate(_ES_ACCENT)
+
+
+# =============================================================== Italian
+
+_IT_VOWELS = "aeiouàèìòù"
+_IT_ACUTE = str.maketrans("áéíóúë", "àèìòùe")
+
+
+def stem_it(word: str) -> str:
+    """Snowball Italian."""
+    # prelude pass 1 (italian.sbl): acute -> grave, qu -> qU
+    w = word.translate(_IT_ACUTE).replace("qu", "qU")
+    # prelude pass 2: repeat-goto marking of u/i between vowels, on the
+    # EVOLVING string (a char already marked is a consonant afterwards)
+    chars = list(w)
+    n = len(chars)
+    c = 0
+    while c < n:
+        if chars[c] in _IT_VOWELS and c + 2 < n + 1 and c + 1 < n:
+            nx = chars[c + 1]
+            if nx in "ui" and c + 2 < n and chars[c + 2] in _IT_VOWELS:
+                chars[c + 1] = nx.upper()
+                c += 2
+                continue
+        c += 1
+    w = "".join(chars)
+
+    rv = _es_rv_generic(w, _IT_VOWELS)  # marked U/I count as consonants
+    r1, r2 = _r1_r2(w, _IT_VOWELS)
+
+    def in_rv(slen: int, wl_: int | None = None) -> bool:
+        return _in(rv, wl_ if wl_ is not None else len(w), slen)
+
+    def in_r1(slen: int) -> bool:
+        return _in(r1, len(w), slen)
+
+    def in_r2(slen: int, wl_: int | None = None) -> bool:
+        return _in(r2, wl_ if wl_ is not None else len(w), slen)
+
+    # ---- step 0: attached pronoun ----
+    pronouns = sorted(
+        ["ci", "gli", "la", "le", "li", "lo", "mi", "ne", "si", "ti",
+         "vi", "sene", "gliela", "gliele", "glieli", "glielo", "gliene",
+         "mela", "mele", "meli", "melo", "mene", "tela", "tele", "teli",
+         "telo", "tene", "cela", "cele", "celi", "celo", "cene", "vela",
+         "vele", "veli", "velo", "vene"],
+        key=len, reverse=True,
+    )
+    for p in pronouns:
+        if not w.endswith(p) or not _in(rv, len(w), len(p)):
+            continue
+        base = w[: -len(p)]
+        for pre in ("ando", "endo"):
+            if base.endswith(pre) and _in(rv, len(base), len(pre)):
+                w = base
+                break
+        else:
+            for pre in ("ar", "er", "ir"):
+                if base.endswith(pre) and _in(rv, len(base), len(pre)):
+                    w = base + "e"
+                    break
+        break
+
+    # ---- step 1: standard suffixes ----
+    changed = False
+    s1 = sorted(
+        ["anza", "anze", "ico", "ici", "ica", "ice", "iche", "ichi",
+         "ismo", "ismi", "abile", "abili", "ibile", "ibili", "ista",
+         "iste", "isti", "istà", "istè", "istì", "oso", "osi", "osa",
+         "ose", "mente", "atrice", "atrici", "ante", "anti",
+         "azione", "azioni", "atore", "atori", "logia", "logie",
+         "uzione", "uzioni", "usione", "usioni", "enza", "enze",
+         "amento", "amenti", "imento", "imenti", "amente",
+         "ità", "ivo", "ivi", "iva", "ive"],
+        key=len, reverse=True,
+    )
+    for suf in s1:
+        if not w.endswith(suf):
+            continue
+        sl = len(suf)
+        base = w[:-sl]
+        if suf in ("anza", "anze", "ico", "ici", "ica", "ice", "iche",
+                   "ichi", "ismo", "ismi", "abile", "abili", "ibile",
+                   "ibili", "ista", "iste", "isti", "istà", "istè",
+                   "istì", "oso", "osi", "osa", "ose", "mente",
+                   "atrice", "atrici", "ante", "anti"):
+            if in_r2(sl):
+                w, changed = base, True
+        elif suf in ("azione", "azioni", "atore", "atori"):
+            if in_r2(sl):
+                w, changed = base, True
+                if w.endswith("ic") and _in(r2, len(w), 2):
+                    w = w[:-2]
+        elif suf in ("logia", "logie"):
+            if in_r2(sl):
+                w, changed = base + "log", True
+        elif suf in ("uzione", "uzioni", "usione", "usioni"):
+            if in_r2(sl):
+                w, changed = base + "u", True
+        elif suf in ("enza", "enze"):
+            if in_r2(sl):
+                w, changed = base + "ente", True
+        elif suf in ("amento", "amenti", "imento", "imenti"):
+            if in_rv(sl):
+                w, changed = base, True
+        elif suf == "amente":
+            if in_r1(sl):
+                w, changed = base, True
+                if w.endswith("iv") and _in(r2, len(w), 2):
+                    w = w[:-2]
+                    if w.endswith("at") and _in(r2, len(w), 2):
+                        w = w[:-2]
+                else:
+                    for pre in ("os", "ic", "abil"):
+                        if w.endswith(pre) and _in(r2, len(w), len(pre)):
+                            w = w[: -len(pre)]
+                            break
+        elif suf == "ità":
+            if in_r2(sl):
+                w, changed = base, True
+                for pre in ("abil", "ic", "iv"):
+                    if w.endswith(pre) and _in(r2, len(w), len(pre)):
+                        w = w[: -len(pre)]
+                        break
+        elif suf in ("ivo", "ivi", "iva", "ive"):
+            if in_r2(sl):
+                w, changed = base, True
+                if w.endswith("at") and _in(r2, len(w), 2):
+                    w = w[:-2]
+                    if w.endswith("ic") and _in(r2, len(w), 2):
+                        w = w[:-2]
+        break
+
+    # ---- step 2: verb suffixes (if step 1 did nothing) ----
+    if not changed:
+        verb_sufs = sorted(
+            ["ammo", "ando", "ano", "are", "arono", "asse", "assero",
+             "assi", "assimo", "ata", "ate", "ati", "ato", "ava",
+             "avamo", "avano", "avate", "avi", "avo", "emmo", "enda",
+             "ende", "endi", "endo", "erà", "erai", "eranno", "ere",
+             "erebbe", "erebbero", "erei", "eremmo", "eremo", "ereste",
+             "eresti", "erete", "erò", "erono", "essero", "ete", "eva",
+             "evamo", "evano", "evate", "evi", "evo", "Yamo", "iamo",
+             "immo", "irà", "irai", "iranno", "ire", "irebbe",
+             "irebbero", "irei", "iremmo", "iremo", "ireste", "iresti",
+             "irete", "irò", "irono", "isca", "iscano", "isce", "isci",
+             "isco", "iscono", "issero", "ita", "ite", "iti", "ito",
+             "iva", "ivamo", "ivano", "ivate", "ivi", "ivo", "ono",
+             "uta", "ute", "uti", "uto", "ar", "ir"],
+            key=len, reverse=True,
+        )
+        for suf in verb_sufs:
+            if not w.endswith(suf) or not in_rv(len(suf)):
+                continue
+            w = w[: -len(suf)]
+            break
+
+    # ---- step 3a: residual vowel ----
+    for suf in ("a", "e", "i", "o", "à", "è", "ì", "ò"):
+        if w.endswith(suf) and in_rv(1):
+            w = w[:-1]
+            if w.endswith("i") and in_rv(1):
+                w = w[:-1]
+            break
+
+    # ---- step 3b ----
+    if (w.endswith("ch") or w.endswith("gh")) and in_rv(2):
+        w = w[:-1]
+
+    return w.replace("I", "i").replace("U", "u")
+
+
+def _es_rv_generic(w: str, vowels: str) -> int:
+    """Spanish/Italian RV definition."""
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in vowels:
+        i = 2
+        while i < n and w[i] not in vowels:
+            i += 1
+        return i + 1 if i < n else n
+    if w[0] in vowels and w[1] in vowels:
+        i = 2
+        while i < n and w[i] in vowels:
+            i += 1
+        return i + 1 if i < n else n
+    return 3
+
+
+STEMMERS: dict[str, callable] = {
+    "german": stem_de,
+    "french": stem_fr,
+    "spanish": stem_es,
+    "italian": stem_it,
+}

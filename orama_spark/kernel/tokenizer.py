@@ -100,7 +100,7 @@ class TokenizerConfig:
 class Tokenizer:
     """Callable tokenizer with a normalization memo (one per instance)."""
 
-    __slots__ = ("config", "_split", "_cache")
+    __slots__ = ("config", "_split", "_cache", "_stem")
 
     def __init__(self, config: TokenizerConfig | None = None):
         self.config = config or TokenizerConfig()
@@ -108,6 +108,21 @@ class Tokenizer:
             raise ValueError(f"LANGUAGE_NOT_SUPPORTED: {self.config.language}")
         self._split = SPLITTERS[self.config.language]
         self._cache: dict[tuple[str, str], str] = {}
+        self._stem = None
+        if self.config.stemming:
+            if self.config.language == "english":
+                self._stem = porter_stem
+            else:
+                from .snowball import STEMMERS as _SNOWBALL
+
+                self._stem = _SNOWBALL.get(self.config.language)
+                if self._stem is None:
+                    # the reference requires an explicit stemmer import
+                    # per language (@orama/stemmers); we ship en/de/fr/
+                    # es/it and refuse silently-unstemmed indexes
+                    raise ValueError(
+                        f"STEMMER_NOT_SUPPORTED: {self.config.language}"
+                    )
 
     def normalize_token(self, prop: str, token: str) -> str:
         """Port of ``normalizeToken`` (tokenizer/index.ts:19-44).
@@ -123,8 +138,8 @@ class Tokenizer:
         if token in cfg.stopwords:
             self._cache[key] = ""
             return ""
-        if cfg.stemming and prop not in cfg.stemmer_skip_properties:
-            token = porter_stem(token)
+        if self._stem is not None and prop not in cfg.stemmer_skip_properties:
+            token = self._stem(token)
         token = replace_diacritics(token)
         self._cache[key] = token
         return token

@@ -179,6 +179,79 @@ for (const [language, texts2] of Object.entries(langTexts)) {
 }
 writeFileSync('/root/repo/tests/vectors/tokenizer_langs.json', JSON.stringify(langVectors, null, 1))
 
+// Snowball stemmer vectors for de/fr/es/it: run the reference's
+// compiled stemmers (packages/stemmers/lib/*.js) over suffix-family
+// word lists; the Python kernel implements the published Snowball
+// algorithms and must match every vector.
+const langStemWords = {
+  de: ['aufeinander', 'kategorien', 'können', 'größe', 'verschiedenen',
+    'bedeutung', 'wichtigkeit', 'möglichkeit', 'freundlichkeit',
+    'verständnis', 'verständnisse', 'erlebnisse', 'geheimnis',
+    'geheimnisse', 'häuser', 'mädchen', 'schönheit', 'arbeiten',
+    'arbeitet', 'gearbeitet', 'schnellsten', 'schnellste', 'laufen',
+    'läufst', 'kleidung', 'zeitung', 'zeitungen', 'regierung',
+    'darstellung', 'einzig', 'wenig', 'wenige', 'könig', 'honig',
+    'fertig', 'fertigkeit', 'richtig', 'richtigkeit', 'freundlich',
+    'natürlich', 'sachlich', 'endlich', 'beweglich', 'beweglichkeit',
+    'brauchbarkeit', 'ausbildung', 'entscheidungen', 'bücher', 'füße',
+    'straße', 'strassen', 'messen', 'wissen', 'wissenschaft',
+    'wissenschaftlich', 'deutschland', 'deutschen', 'gutes', 'gute',
+    'guten', 'gutem', 'guter', 'bestes', 'jahren', 'jahres', 'kindern',
+    'kindes', 'bauer', 'bauern', 'treuer', 'steuern', 'bayern',
+    'heimlich', 'heimlichkeiten', 'unkeuschheit', 'armes', 'ärmsten',
+    'tischen', 'tisches', 'quaken', 'quakst', 'es', 'em', 'e', 'aß'],
+  fr: ['continuellement', 'majestueusement', 'possibilités',
+    'conditionnellement', 'nationalité', 'nationalités', 'émotion',
+    'émotions', 'importance', 'importantes', 'logiciels', 'travaillons',
+    'mangeaient', 'finissions', 'chanterions', 'aimerait', 'parlant',
+    'parlante', 'parlants', 'étudiants', 'création', 'créations',
+    'heureusement', 'heureuse', 'heureux', 'sérieusement', 'production',
+    'productrice', 'absolument', 'arguments', 'montrèrent', 'allèrent',
+    'venir', 'viennent', 'tiennent', 'châteaux', 'journaux', 'yeux',
+    'travaux', 'cheveux', 'beautés', 'qualité', 'qualités', 'facilité',
+    'activités', 'actifs', 'active', 'actrice', 'acteurs', 'lecteurs',
+    'lectrice', 'libération', 'libérations', 'établissement',
+    'établissements', 'agrandissement', 'amoureuses', 'curieuses',
+    'évidemment', 'couramment', 'prudemment', 'connaître', 'paraît',
+    'mangées', 'donnée', 'données', 'jouées', 'identification',
+    'simplification', 'copieusement', 'abattement', 'abaissement',
+    'iraient', 'finiraient', 'humainement', 'ennuyeuse', 'joyeux',
+    'payer', 'employer', 'nettoyer', 'pitié', 'amitié', 'entière'],
+  es: ['generosamente', 'comunicación', 'comunicaciones', 'universidad',
+    'universidades', 'felicidad', 'rápidamente', 'trabajando',
+    'trabajadores', 'cantando', 'cantaban', 'cantaríamos', 'viviendo',
+    'vivieron', 'comieron', 'habilidades', 'capacidades', 'importante',
+    'importancia', 'lógica', 'lógicamente', 'amorosa', 'amorosamente',
+    'niñas', 'niños', 'señores', 'señoras', 'corazones', 'canciones',
+    'región', 'regiones', 'religión', 'religiones', 'creencias',
+    'ansiedad', 'realidades', 'realizar', 'realización',
+    'organizaciones', 'programas', 'problemas', 'sistemas', 'análisis',
+    'crisis', 'jóvenes', 'fáciles', 'difíciles', 'guitarras',
+    'llegaron', 'quedándose', 'dándoselo', 'yendo', 'estuvieron',
+    'tuvieron', 'pudieron', 'quisieron', 'amorosos', 'durmiendo',
+    'atracción', 'atractivo', 'adormecimiento', 'agradecimientos',
+    'enriquecimiento', 'torería', 'chillería', 'pensamiento', 'haciéndolo'],
+  it: ['velocemente', 'felicemente', 'nazionale', 'nazionalità',
+    'comunicazione', 'comunicazioni', 'lavorando', 'lavoratori',
+    'cantando', 'cantavano', 'canterebbero', 'mangiando', 'mangiarono',
+    'bellissimo', 'bellissima', 'grandissimi', 'probabilmente',
+    'possibilità', 'università', 'città', 'qualità', 'attività',
+    'amichevole', 'amichevolmente', 'ragazzi', 'ragazze', 'bambini',
+    'bambine', 'uomini', 'azioni', 'azione', 'produzione', 'produzioni',
+    'organizzazione', 'usando', 'usato', 'usati', 'parlavano',
+    'parlerò', 'dormivano', 'leggendo', 'scrivendo', 'scrissero',
+    'vissero', 'finirono', 'capirono', 'logicamente', 'semplicemente',
+    'specialmente', 'ovviamente', 'abilità', 'felicità', 'abbandonerebbero',
+    'indipendentemente', 'irresponsabilità', 'giocherellone', 'guardandoglielo',
+    'pericolosamente', 'meravigliosamente', 'internazionalizzazione'],
+}
+const stemLangVectors = []
+for (const [code, words] of Object.entries(langStemWords)) {
+  const { stemmer: st } = await import(`/root/reference/packages/stemmers/lib/${code}.js`)
+  for (const w of words) stemLangVectors.push({ language: code, word: w, stem: st(w) })
+}
+writeFileSync('/root/repo/tests/vectors/stemmer_langs.json', JSON.stringify(stemLangVectors, null, 1))
+
 // levenshtein vectors: prefix special cases + DP + early-exit edges
 const levCases = []
 const pairs = [
