@@ -444,6 +444,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sr.top_df().select("docid", _r())
     q["flt_geo_filter"] = geo_filter_term
 
+    # match highlight (plugin-match-highlight): positions for the page
+    def highlight(spark, sf_dir):
+        from orama_spark.query.highlight import match_positions_df
+
+        idx = _get_index(spark, sf_dir)
+        sr = idx.search(term="spark", limit=10)
+        return match_positions_df(idx, sr, "spark", properties=["text"])
+    q["highlight_positions"] = highlight
+
     # multi-language: German splitter over the lang='de' slice
     def flt_lang_de(spark, sf_dir):
         idx = _get_de_index(spark, sf_dir)
@@ -797,6 +806,36 @@ LIMIT 100
             f"doc_id IN (SELECT doc_id FROM (SELECT doc_id, {_GEO_LAT} AS lat, "
             f"{_GEO_LON} AS lon FROM documents) g WHERE {_dist_c} <= {_r_m!r})"
         ),
+    )
+
+    # match-highlight: word offsets reconstructed from the interleaved
+    # regexp_extract_all (words) + regexp_split_to_array (separators)
+    _word_re = r"[\p{L}0-9_'-]+".replace("'", "''")
+    sql["highlight_positions"] = (
+        _sql_prologue()
+        + _sql_matches(PREFIX_COND, ["spark"])
+        + f""",
+hits AS (SELECT docid FROM scored ORDER BY scored.score DESC, docid ASC LIMIT 10),
+d AS (SELECT h.docid, doc.text AS t FROM hits h JOIN documents doc ON doc.doc_id = h.docid),
+w AS (SELECT docid, regexp_extract_all(t, '{_word_re}') AS words,
+             regexp_split_to_array(t, '{_word_re}') AS seps FROM d),
+m AS (
+  SELECT docid, unnest(list_transform(range(1, len(words) + 1), i -> {{
+      'word': words[i::INT],
+      'start0': coalesce(list_sum(list_transform(list_slice(seps, 1, i), x -> length(x))), 0)
+              + coalesce(list_sum(list_transform(list_slice(words, 1, i - 1), x -> length(x))), 0)
+  }})) AS u
+  FROM w
+),
+mt AS (
+  SELECT docid,
+         list_filter(regexp_split_to_array(lower(u.word), '{SQL_SPLIT}'), x -> x <> '')[1] AS token,
+         u.start0 AS s0, length(u.word) AS wl
+  FROM m
+)
+SELECT docid, 'text' AS prop, token, s0::INT AS "start", wl::INT AS "length"
+FROM mt WHERE token LIKE 'spark%'
+"""
     )
 
     # German split class (languages.ts:43, lowered input: a-z 0-9 äöüß)

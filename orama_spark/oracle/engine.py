@@ -849,3 +849,43 @@ class OramaOracle:
             if count >= offset + limit:
                 break
         return hits
+
+
+def match_positions(
+    oracle: "OramaOracle", hits: list[dict], term: str, tolerance: int = 0
+) -> list[tuple]:
+    """Pure-Python port of plugin-match-highlight (index.ts:36-135):
+    (docid, prop, token, start, length) rows for each hit document,
+    filtered to tokens matching a query token (prefix, or bounded
+    Levenshtein when tolerance is set)."""
+    import re as _re
+
+    word_re = _re.compile(r"(?:[^\W\d_]|[0-9_'-])+")
+    qtokens = oracle.tokenizer.tokenize(term)
+    out: list[tuple] = []
+    for hit in hits:
+        docid = hit["id"]
+        doc = oracle.docs[docid]
+        for prop, typ in oracle.schema.items():
+            if typ != "string":
+                continue
+            text = _get_nested(doc, prop)
+            if not isinstance(text, str):
+                continue
+            for m in word_re.finditer(text):
+                toks = oracle.tokenizer.tokenize(m.group(0).lower())
+                token = toks[0] if toks else None
+                if token is None:
+                    continue
+                matched = False
+                for qt in qtokens:
+                    if tolerance:
+                        if is_bounded(token, qt, tolerance):
+                            matched = True
+                            break
+                    elif token.startswith(qt):
+                        matched = True
+                        break
+                if matched:
+                    out.append((docid, prop, token, m.start(), len(m.group(0))))
+    return out
