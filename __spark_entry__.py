@@ -169,6 +169,39 @@ def _get_de_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     return idx
 
 
+# alternative scorers (SURVEY §2.10): PT15 + QPS indexes over documents
+_ALT_CACHE: dict[tuple, object] = {}
+
+
+def _get_alt_index(spark: SparkSession, sf_dir: str, kind: str):
+    key = (kind, sf_dir)
+    idx = _ALT_CACHE.get(key)
+    if idx is not None:
+        return idx
+    from orama_spark.query.pt15 import PT15Index
+    from orama_spark.query.qps import QPSIndex
+
+    cfg = IndexConfig(
+        schema={"text": "string"}, tokenizer=TokenizerConfig.plain(), docid_col="docid"
+    )
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(F.col("doc_id").alias("docid"), "text")
+    )
+    out = os.path.join(
+        f"/dev/shm/orama_spark_entry_{kind}",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    cls = PT15Index if kind == "pt15" else QPSIndex
+    marker = os.path.join(out, kind)
+    if not os.path.exists(marker):
+        idx = cls.build(df, out, cfg)
+    else:
+        idx = cls.load(spark, out, cfg)
+    _ALT_CACHE[key] = idx
+    return idx
+
+
 def _get_tags_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     idx = _TAGS_CACHE.get(sf_dir)
     if idx is not None:
@@ -443,6 +476,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "coordinates": _GEO_CENTER, "value": 3000, "unit": "km"}}}, limit=10)
         return sr.top_df().select("docid", _r())
     q["flt_geo_filter"] = geo_filter_term
+
+    # alternative scorers (SURVEY §2.10)
+    def pt15_topk(spark, sf_dir):
+        idx = _get_alt_index(spark, sf_dir, "pt15")
+        return idx.search("spark", limit=10).select(
+            "docid", F.col("score").cast("double").alias("score")
+        )
+    q["pt15_topk"] = pt15_topk
+
+    def qps_topk(spark, sf_dir):
+        idx = _get_alt_index(spark, sf_dir, "qps")
+        return idx.search("spark merge", limit=10).select("docid", _r())
+    q["qps_topk"] = qps_topk
 
     # match highlight (plugin-match-highlight): positions for the page
     def highlight(spark, sf_dir):
@@ -807,6 +853,79 @@ LIMIT 100
             f"{_GEO_LON} AS lon FROM documents) g WHERE {_dist_c} <= {_r_m!r})"
         ),
     )
+
+    # PT15: dedupe tokens first-occurrence order -> 15-bucket position
+    # -> score = sum of positions of tokens with the query prefix
+    sql["pt15_topk"] = f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '{SQL_SPLIT}'), x -> x <> '') AS raw
+  FROM documents
+),
+ix AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(raw) + 1), i -> {{'i': i, 'tok': raw[i::INT]}})) AS u
+  FROM tk
+),
+firsts AS (SELECT doc_id, u.tok AS tok, min(u.i) AS fi FROM ix GROUP BY doc_id, u.tok),
+pos AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY fi) - 1 AS ti,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM firsts
+),
+sc AS (
+  SELECT doc_id AS docid,
+         sum(CASE WHEN n < 15 THEN 14 - ti ELSE 14 - ((ti * 15) // n) END)::DOUBLE AS score
+  FROM pos WHERE tok LIKE 'spark%'
+  GROUP BY doc_id
+)
+SELECT docid, score FROM sc ORDER BY sc.score DESC, docid ASC LIMIT 10
+"""
+
+    # QPS: sentence quantums (occ<<20 | bitmask) + proximity-bonus fold
+    # in (term asc) order — mirrors query/qps.py exactly
+    sql["qps_topk"] = rf"""
+WITH sents AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ss) + 1), i -> {{'si': i, 's': ss[i::INT]}})) AS u
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\.|\?|!') AS ss FROM documents)
+),
+st AS (
+  SELECT doc_id, u.si AS si,
+         list_distinct(list_filter(regexp_split_to_array(lower(u.s), '{SQL_SPLIT}'), x -> x <> '')) AS toks
+  FROM sents
+),
+qi AS (
+  SELECT doc_id, si, toks,
+         coalesce(sum(CASE WHEN len(toks) > 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY si
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS qidx
+  FROM st
+),
+toku AS (SELECT doc_id, least(qidx, 20) AS bit, unnest(toks) AS tok FROM qi),
+tl AS (SELECT doc_id, count(*) AS n FROM toku GROUP BY doc_id),
+quant AS (
+  SELECT doc_id, tok, count(*) AS occ, bit_or((1::BIGINT << bit)) AS mask
+  FROM toku GROUP BY doc_id, tok
+),
+matched AS (
+  SELECT doc_id, list(tok ORDER BY tok) AS terms,
+         list(occ ORDER BY tok) AS occs, list(mask ORDER BY tok) AS masks
+  FROM quant WHERE tok LIKE 'spark%' OR tok LIKE 'merge%'
+  GROUP BY doc_id
+),
+sc AS (
+  SELECT m.doc_id AS docid,
+         list_sum(list_transform(range(1, len(terms) + 1), i ->
+           (occs[i::INT] * occs[i::INT]) / tl.n
+           + (CASE WHEN terms[i::INT] IN ('spark', 'merge') THEN 1 ELSE 0 END)
+           + 2 * bit_count(
+               list_reduce(list_prepend(0::BIGINT, list_slice(masks, 1, i - 1)),
+                           (a, x) -> a | x) & masks[i::INT])
+         )) AS score
+  FROM matched m JOIN tl ON tl.doc_id = m.doc_id
+)
+SELECT docid, round(score, 6) AS score FROM sc
+ORDER BY sc.score DESC, docid ASC LIMIT 10
+"""
 
     # match-highlight: word offsets reconstructed from the interleaved
     # regexp_extract_all (words) + regexp_split_to_array (separators)

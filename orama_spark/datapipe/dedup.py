@@ -195,9 +195,17 @@ def minhash_signatures(
             if len(hs) == 0:
                 return sentinel
             # distinct shingle set (min unaffected, work reduced);
-            # x < 2^32 and a < 2^31 so a*x + b < 2^63: exact in uint64
-            x = np.unique(hs & np.int64(_MASK32)).astype(np.uint64)[None, :]
-            return ((a * x + b) % p).min(axis=1).astype(np.int64).tolist()
+            # x < 2^32 and a < 2^31 so a*x + b < 2^63: exact in uint64.
+            # Chunked (128 grams/pass) so the 64 x chunk temp stays
+            # L2-resident — the full 64 x n_grams outer product is
+            # memory-bandwidth-bound, the chunked one is ALU-bound
+            # (identical results, ~same ops, 10x less DRAM traffic).
+            x = np.unique(hs & np.int64(_MASK32)).astype(np.uint64)
+            best = np.full(len(A), _P, dtype=np.uint64)
+            for off in range(0, len(x), 128):
+                chunk = x[off:off + 128][None, :]
+                np.minimum(best, ((a * chunk + b) % p).min(axis=1), out=best)
+            return best.astype(np.int64).tolist()
 
         return texts.map(one)
 

@@ -628,6 +628,28 @@ class SearchIndex:
         out = m.withColumn("group_rank", F.row_number().over(w))
         return out.select(*properties, "docid", "score", "group_rank")
 
+    def groups_reduce_df(
+        self,
+        result: SearchResult,
+        properties: list[str],
+        reduce_fn,
+        output_schema: str,
+        max_result: Optional[int] = None,
+    ) -> DataFrame:
+        """groupBy with a CUSTOM reducer (types.ts:170-180; default
+        reducer groups.ts:36-42 returns the doc list — here that is just
+        ``groups_df``). ``reduce_fn(key_tuple, pdf) -> pdf`` runs via
+        applyInPandas: each group's member documents (full doc columns +
+        score + group_rank, rank order preserved by group_rank) arrive
+        as one pandas frame — the Spark-native UDAF surface. Groups
+        respect the same per-property maxResult cap as groups_df."""
+        docid = self.config.docid_col
+        members = self.groups_df(result, properties, max_result=max_result)
+        docs_side = self.docs.withColumnRenamed(docid, "docid")
+        dup = [c for c in docs_side.columns if c in set(properties)]
+        joined = members.join(docs_side.drop(*dup), "docid")
+        return joined.groupBy(*properties).applyInPandas(reduce_fn, schema=output_schema)
+
     # -------------------------------------------------------- distinct_on
     def distinct_df(self, result: SearchResult, prop: str, offset: int = 0, limit: int = 10) -> DataFrame:
         """distinctOn (methods/search.ts:43-99): first (best-ranked) doc

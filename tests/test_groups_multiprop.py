@@ -76,6 +76,40 @@ def test_single_prop_group_still_exact(pair):
     assert got == want
 
 
+def test_groups_custom_reduce(pair):
+    """applyInPandas custom reducer (types.ts:170-180) vs a Python
+    reduce over the oracle's group members."""
+    import pandas as pd
+
+    idx, orc = pair
+    sr = idx.search(term="red", limit=100)
+
+    def reducer(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [[key[0], len(pdf), float(pdf["score"].max()), float(pdf["price"].sum())]],
+            columns=["cat", "n", "best_score", "total_price"],
+        )
+
+    got = {
+        r["cat"]: (r["n"], round(r["best_score"], 9), r["total_price"])
+        for r in idx.groups_reduce_df(
+            sr, ["cat"], reducer,
+            "cat string, n long, best_score double, total_price double",
+            max_result=2,
+        ).collect()
+    }
+    res = orc.search(term="red", limit=100, group_by={"properties": ["cat"], "maxResult": 2})
+    want = {}
+    for g in res["groups"]:
+        docs = g["result"]
+        want[g["values"][0]] = (
+            len(docs),
+            round(max(h["score"] for h in docs), 9),
+            sum(h["document"]["price"] for h in docs),
+        )
+    assert got == want
+
+
 def test_facet_count_string_enum(pair):
     idx, orc = pair
     sr = idx.search(term="red", limit=100)
