@@ -254,6 +254,35 @@ class IndexBuilder:
 
         results["dictionary"] = manifest.run_stage("dictionary", fp, _dictionary)
 
+        # --- stage: length-banded dictionary copy for the fuzzy path.
+        # The primary dictionary is sorted by (field, term) so exact/
+        # prefix lookups row-group-prune; a tolerance query's length
+        # band (|len(term) - len(tok)| <= tol) can't prune that layout
+        # and forces a full dictionary scan per fuzzy query (~GBs at
+        # 10^12 docs). This copy is sorted by (field, term_len, term)
+        # so the band becomes a pushdown range predicate.
+        bylen_path = os.path.join(out_dir, "dictionary_bylen")
+
+        def _dictionary_bylen():
+            (
+                spark.read.parquet(dict_path)
+                .select(
+                    "field",
+                    F.length("term").cast("int").alias("term_len"),
+                    "term",
+                    "df",
+                )
+                .repartitionByRange(max(n_part // 8, 1), "field", "term_len", "term")
+                .sortWithinPartitions("field", "term_len", "term")
+                .write.mode("overwrite")
+                .parquet(bylen_path)
+            )
+            return {"path": bylen_path}
+
+        results["dictionary_bylen"] = manifest.run_stage(
+            "dictionary_bylen", fp, _dictionary_bylen
+        )
+
         # --- stage: stats (global doc count + per-field avg field length)
         stats_path = os.path.join(out_dir, "stats.json")
 

@@ -315,6 +315,17 @@ def compact(spark: SparkSession, index_dir: str, config: IndexConfig) -> None:
     )
     shutil.rmtree(dict_path)
     os.rename(dict_path + ".compact", dict_path)
+    bylen_path = os.path.join(index_dir, "dictionary_bylen")
+    (
+        spark.read.parquet(dict_path)
+        .select("field", F.length("term").cast("int").alias("term_len"), "term", "df")
+        .sortWithinPartitions("field", "term_len", "term")
+        .write.mode("overwrite")
+        .parquet(bylen_path + ".compact")
+    )
+    if os.path.exists(bylen_path):
+        shutil.rmtree(bylen_path)
+    os.rename(bylen_path + ".compact", bylen_path)
     for p in (tomb_path, delta_path):
         if os.path.exists(p):
             shutil.rmtree(p)

@@ -167,6 +167,11 @@ class SearchIndex:
         self.dictionary = dictionary
         self.stats = stats
         self.tokenizer = Tokenizer(config.tokenizer)
+        # fuzzy length-band scans use the (field, term_len, term)-sorted
+        # copy when the index ships one (load() overrides this default)
+        self.dictionary_bylen = dictionary.select(
+            "field", F.length("term").cast("int").alias("term_len"), "term", "df"
+        )
         # (tokens, props, tolerance) -> (collected expansion | None, tokens_found)
         self._fuzzy_cache: dict[tuple, tuple] = {}
         self._where = WhereCompiler(
@@ -188,6 +193,14 @@ class SearchIndex:
         docs = spark.read.parquet(os.path.join(index_dir, "docs"))
         postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         dictionary = spark.read.parquet(os.path.join(index_dir, "dictionary"))
+        bylen_path = os.path.join(index_dir, "dictionary_bylen")
+        if os.path.exists(bylen_path):
+            dictionary_bylen = spark.read.parquet(bylen_path)
+        else:
+            # older index layout: same semantics, no length pruning
+            dictionary_bylen = dictionary.select(
+                "field", F.length("term").cast("int").alias("term_len"), "term", "df"
+            )
 
         tomb_path = os.path.join(index_dir, "tombstones")
         if os.path.exists(tomb_path):
@@ -218,9 +231,26 @@ class SearchIndex:
                 )
                 .where(F.col("df") > 0)
             )
+            dictionary_bylen = (
+                dictionary_bylen.join(delta, ["field", "term"], "full_outer")
+                .select(
+                    "field",
+                    F.coalesce(
+                        F.col("term_len"), F.length("term").cast("int")
+                    ).alias("term_len"),
+                    "term",
+                    (
+                        F.coalesce(F.col("df"), F.lit(0))
+                        + F.coalesce(F.col("ddf"), F.lit(0))
+                    ).alias("df"),
+                )
+                .where(F.col("df") > 0)
+            )
 
-        return cls(spark, config, docs=docs, postings=postings,
-                   dictionary=dictionary, stats=stats)
+        idx = cls(spark, config, docs=docs, postings=postings,
+                  dictionary=dictionary, stats=stats)
+        idx.dictionary_bylen = dictionary_bylen
+        return idx
 
     # -------------------------------------------------------- expansion
     def _expansion_df(
@@ -238,17 +268,36 @@ class SearchIndex:
             elif exact:
                 cond = F.col("term") == tok
             elif tolerance:
-                band = (F.length("term") >= F.lit(len(tok) - tolerance)) & (
-                    F.length("term") <= F.lit(len(tok) + tolerance)
+                # two prunable scans instead of one unprunable OR:
+                #  (a) prefix matches from the (field, term)-sorted
+                #      dictionary (startswith pushes into row-group
+                #      min/max; accepted unconditionally,
+                #      levenshtein.ts:26-31)
+                #  (b) the length band from the (field, term_len,
+                #      term)-sorted copy — the band is a pushdown range
+                #      predicate there — refined by the bounded-
+                #      Levenshtein Arrow UDF; NOT startswith keeps the
+                #      two scans disjoint
+                pre = base.where(F.col("term").startswith(tok)).select(
+                    "field", F.lit(tok).alias("qtoken"), "term", "df"
                 )
-                cond = band | F.col("term").startswith(tok)
+                band = (
+                    self.dictionary_bylen.where(F.col("field").isin(props))
+                    .where(
+                        (F.col("term_len") >= F.lit(len(tok) - tolerance))
+                        & (F.col("term_len") <= F.lit(len(tok) + tolerance))
+                        & ~F.col("term").startswith(tok)
+                    )
+                    .where(_fuzzy_udf(tok, tolerance)(F.col("term")))
+                    .select("field", F.lit(tok).alias("qtoken"), "term", "df")
+                )
+                parts.append(pre.unionByName(band))
+                continue
             else:
                 cond = F.col("term").startswith(tok)
             part = base.where(cond).select(
                 "field", F.lit(tok).alias("qtoken"), "term", "df"
             )
-            if tolerance and not exact and tok != "":
-                part = part.where(_fuzzy_udf(tok, tolerance)(F.col("term")))
             parts.append(part)
         exp = parts[0]
         for p in parts[1:]:

@@ -79,3 +79,19 @@ def test_no_exchange_on_postings_before_join(idx):
     # expansion side may broadcast; postings side must never SORT or
     # range-partition at query time
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_fuzzy_band_pushes_term_len_range(idx):
+    """Fuzzy expansion's length band must reach the parquet scan of the
+    (field, term_len, term)-sorted dictionary copy as a pushdown range
+    (round-1 review: `band | startswith` forced a full dictionary scan)."""
+    import contextlib
+    import io
+
+    exp = idx._expansion_df(["serch"], ["text"], exact=False, tolerance=1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        exp.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "GreaterThanOrEqual(term_len,4)" in plan
+    assert "LessThanOrEqual(term_len,6)" in plan
