@@ -169,6 +169,50 @@ def _get_de_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     return idx
 
 
+# incremental-maintenance index: documents minus every 7th doc, removed
+# AFTER the build through the tombstone/delta path — the driver query
+# then proves remove-adjusted stats/df match a from-scratch oracle over
+# the remaining docs
+_RM_CACHE: dict[str, SearchIndex] = {}
+
+
+def _get_removed_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    idx = _RM_CACHE.get(sf_dir)
+    if idx is not None:
+        return idx
+    from orama_spark.build.maintenance import remove_documents
+
+    cfg = IndexConfig(
+        schema={"text": "string"}, tokenizer=TokenizerConfig.plain(), docid_col="docid"
+    )
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(F.col("doc_id").alias("docid"), "text")
+    )
+    out = os.path.join(
+        "/dev/shm/orama_spark_entry_rmidx", os.path.basename(os.path.normpath(sf_dir))
+    )
+    import json as _json
+
+    marker = os.path.join(out, "stats.json")
+    if not os.path.exists(marker):
+        IndexBuilder(cfg).build(df, out, input_id=sf_dir)
+        remove_documents(
+            spark, out, cfg, df.where(F.col("docid") % 7 == 0).select("docid")
+        )
+    else:
+        # the cache may predate the removal — only reuse post-removal
+        with open(marker) as fh:
+            if _json.load(fh)["docs_count"] == df.count():
+                remove_documents(
+                    spark, out, cfg,
+                    df.where(F.col("docid") % 7 == 0).select("docid"),
+                )
+    idx = SearchIndex.load(spark, out, cfg)
+    _RM_CACHE[sf_dir] = idx
+    return idx
+
+
 # alternative scorers (SURVEY §2.10): PT15 + QPS indexes over documents
 _ALT_CACHE: dict[tuple, object] = {}
 
@@ -476,6 +520,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "coordinates": _GEO_CENTER, "value": 3000, "unit": "km"}}}, limit=10)
         return sr.top_df().select("docid", _r())
     q["flt_geo_filter"] = geo_filter_term
+
+    # incremental remove (tombstones + df deltas + stats recurrence):
+    # search results over the mutated index must equal a from-scratch
+    # build over the surviving documents
+    def after_remove(spark, sf_dir):
+        idx = _get_removed_index(spark, sf_dir)
+        sr = idx.search(term="spark merge", limit=10)
+        return sr.top_df().select("docid", _r())
+    q["flt_after_remove"] = after_remove
 
     # alternative scorers (SURVEY §2.10)
     def pt15_topk(spark, sf_dir):
@@ -852,6 +905,13 @@ LIMIT 100
             f"doc_id IN (SELECT doc_id FROM (SELECT doc_id, {_GEO_LAT} AS lat, "
             f"{_GEO_LON} AS lon FROM documents) g WHERE {_dist_c} <= {_r_m!r})"
         ),
+    )
+
+    # incremental remove: the oracle is a FROM-SCRATCH formulation over
+    # the surviving docs — equality proves the telescoped stats
+    # recurrence and occurrence-exact df deltas leave no drift
+    sql["flt_after_remove"] = _sql_topk(
+        "spark merge", cond=PREFIX_COND, doc_where="doc_id % 7 <> 0"
     )
 
     # PT15: dedupe tokens first-occurrence order -> 15-bucket position
