@@ -136,6 +136,37 @@ def ivf_topk(
     )
 
 
+def ivf_write(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    out_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the IVF index partitioned BY CENTROID: a probe query then
+    scans only nprobe/#centroids of the data — the partition-pruned
+    sublinear path at 10^12 vectors (directory-level pruning, no file
+    even opened for unprobed buckets)."""
+    import json
+    import os
+
+    assigned.select(id_col, vec_col, "centroid").write.mode(
+        "overwrite"
+    ).partitionBy("centroid").parquet(os.path.join(out_dir, "ivf"))
+    with open(os.path.join(out_dir, "centroids.json"), "w") as f:
+        json.dump([[float(x) for x in c] for c in centroids], f)
+
+
+def ivf_load(spark, out_dir: str):
+    """(assigned_df, centroids) back from ivf_write."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "centroids.json")) as f:
+        cents = np.array(json.load(f), dtype=np.float64)
+    return spark.read.parquet(os.path.join(out_dir, "ivf")), cents
+
+
 def hyperplane_topk(
     embeddings: DataFrame,
     query: Sequence[float],

@@ -151,6 +151,29 @@ class TestSimilarity:
         got = similarity.ivf_topk(assigned, cents, q, k=1, nprobe=3).collect()
         assert got[0]["id"] == 7  # the vector itself lives in a probed bucket
 
+    def test_ivf_write_partition_pruning(self, emb, spark, tmpdir_index):
+        """Persisted IVF index partitioned by centroid: a probe query's
+        scan must carry PartitionFilters on `centroid` (directory-level
+        pruning — unprobed buckets never open a file) and return the
+        same results as the in-memory path."""
+        import contextlib
+        import io
+
+        q = self._rows[7][1]
+        assigned, cents = similarity.ivf_build(emb, n_centroids=8, init="by_id")
+        want = [(r["id"], r["cosine"]) for r in
+                similarity.ivf_topk(assigned, cents, q, k=3, nprobe=3).collect()]
+        similarity.ivf_write(assigned, cents, tmpdir_index)
+        loaded, cents2 = similarity.ivf_load(spark, tmpdir_index)
+        out_df = similarity.ivf_topk(loaded, cents2, q, k=3, nprobe=3)
+        got = [(r["id"], r["cosine"]) for r in out_df.collect()]
+        assert got == want
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out_df.explain(mode="formatted")
+        plan = buf.getvalue()
+        assert "PartitionFilters" in plan and "centroid" in plan
+
     def test_hyperplane_topk_high_recall(self, emb):
         q = self._rows[3][1]
         exact = {r["id"] for r in similarity.brute_force_topk(emb, q, k=5).collect()}
