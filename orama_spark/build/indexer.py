@@ -77,6 +77,7 @@ class IndexBuilder:
         self.config = config
         self.postings_partitions = postings_partitions
         self.docs_already_sorted = docs_already_sorted
+        config.hooks.run_observe("after_create", config)
 
     # -------------------------------------------------------------- build
     def build(self, df: DataFrame, out_dir: str, input_id: str = "") -> dict:
@@ -89,6 +90,7 @@ class IndexBuilder:
         cfg = self.config
         docid = cfg.docid_col
         spark = df.sparkSession
+        df = cfg.hooks.run_transform("before_insert_multiple", df)
         fp = _config_fingerprint(cfg, extra=input_id)
         manifest = BuildManifest.load(out_dir)
 
@@ -326,6 +328,7 @@ class IndexBuilder:
 
         results["stats"] = manifest.run_stage("stats", fp, _stats)
         manifest.save()
+        cfg.hooks.run_observe("after_insert_multiple", df, results)
         return results
 
     def _array_field_postings(self, tokenized: DataFrame, f_: str) -> DataFrame:

@@ -80,6 +80,7 @@ def remove_documents(
     are only adjusted for documents that actually leave the index.
     """
     _check_no_string_arrays(config)
+    remove_ids = config.hooks.run_transform("before_remove_multiple", remove_ids)
     remove_ids = remove_ids.select(F.col(remove_ids.columns[0]).alias("docid")).distinct()
     # only docs that exist: semi-join against the live docs table —
     # without this, removing (or upserting) unknown ids would decrement
@@ -136,6 +137,7 @@ def remove_documents(
 
     remove_ids.write.mode("append").parquet(tomb_path)
     _save_stats(index_dir, stats)
+    config.hooks.run_observe("after_remove_multiple", remove_ids, stats)
     remove_ids.unpersist()
     return stats
 
@@ -147,6 +149,7 @@ def insert_documents(
     — duplicate ids raise, mirroring DOCUMENT_ALREADY_EXISTS,
     documents-store.ts:54)."""
     _check_no_string_arrays(config)
+    new_docs = config.hooks.run_transform("before_insert_multiple", new_docs)
     docid = config.docid_col
     docs_path = os.path.join(index_dir, "docs")
     existing_ids = spark.read.parquet(docs_path).select(F.col(docid).alias("docid"))

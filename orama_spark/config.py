@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from .hooks import Hooks
 from .kernel.bm25 import BM25Params, DEFAULT_BM25
 from .kernel.tokenizer import TokenizerConfig
 
@@ -30,6 +31,10 @@ class IndexConfig:
     tokenizer: TokenizerConfig = field(default_factory=TokenizerConfig)
     bm25: BM25Params = DEFAULT_BM25
     docid_col: str = "docid"
+    # lifecycle hooks (hooks.py): batch-DataFrame transforms + search
+    # callbacks; NOT hashed into the build fingerprint (callables) —
+    # reflect data-changing insert hooks in build(input_id=...)
+    hooks: Hooks = field(default_factory=Hooks)
 
     @property
     def searchable_fields(self) -> list[str]:

@@ -334,6 +334,17 @@ class SearchIndex:
         offset: int = 0,
     ) -> SearchResult:
         cfg = self.config
+        # before_search may rewrite the query params (hooks.ts BeforeSearch)
+        if cfg.hooks.before_search:
+            params = dict(
+                term=term, properties=properties, exact=exact,
+                tolerance=tolerance, boost=boost, threshold=threshold,
+                where=where, limit=limit, offset=offset,
+            )
+            params = cfg.hooks.run_transform("before_search", params, self)
+            term, properties, exact = params["term"], params["properties"], params["exact"]
+            tolerance, boost, threshold = params["tolerance"], params["boost"], params["threshold"]
+            where, limit, offset = params["where"], params["limit"], params["offset"]
         docid = cfg.docid_col
         searchable = cfg.searchable_fields
         props = searchable
@@ -370,7 +381,10 @@ class SearchIndex:
                 scored = self.docs.select(
                     F.col(docid).alias("docid"), F.lit(0.0).alias("score")
                 )
-        return SearchResult(self, scored, offset=offset, limit=limit)
+        result = SearchResult(self, scored, offset=offset, limit=limit)
+        if cfg.hooks.after_search:
+            result = cfg.hooks.run_transform("after_search", result, self)
+        return result
 
     def _geo_only(self, where: dict) -> Optional[DataFrame]:
         """Geosearch-only query -> distance-ranked scores
