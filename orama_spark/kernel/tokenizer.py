@@ -96,6 +96,22 @@ class TokenizerConfig:
         """Stemming + English stopwords (reference dataset-test profile)."""
         return TokenizerConfig(stemming=True, stopwords=frozenset(STOPWORDS_EN))
 
+    @staticmethod
+    def full_for(language: str) -> "TokenizerConfig":
+        """Full profile for any supported language: that language's
+        stopword list (@orama/stopwords) + its stemmer when one ships
+        (en Porter, de/fr/es/it Snowball; other languages run
+        stopwords-only, as the reference does without a stemmer import)."""
+        from .snowball import STEMMERS as _SNOWBALL
+        from .stopwords_multi import STOPWORDS as _SW
+
+        stem = language == "english" or language in _SNOWBALL
+        return TokenizerConfig(
+            language=language,
+            stemming=stem,
+            stopwords=_SW.get(language, frozenset()),
+        )
+
 
 class Tokenizer:
     """Callable tokenizer with a normalization memo (one per instance)."""

@@ -177,6 +177,24 @@ for (const [language, texts2] of Object.entries(langTexts)) {
     langVectors.push({ language, text, tokens: tokenizeLang(text, language) })
   }
 }
+// FULL profile (stopwords + stemmer) vectors for the stemmed languages:
+// the whole non-English pipeline end-to-end against the reference
+const FULL_LOCALES = { german: 'de', french: 'fr', spanish: 'es', italian: 'it' }
+for (const [language, code] of Object.entries(FULL_LOCALES)) {
+  const { stemmer: st } = await import(`/root/reference/packages/stemmers/lib/${code}.js`)
+  const { stopwords: sw } = await import(`/root/reference/packages/stopwords/lib/${code}.js`)
+  const swSet = new Set(sw)
+  for (const text of langTexts[language]) {
+    let tokens = text
+      .toLowerCase()
+      .split(SPLITTERS[language])
+      .map((t) => (swSet.has(t) ? '' : replaceDiacritics(st(t))))
+      .filter(Boolean)
+    while (tokens[tokens.length - 1] === '') tokens.pop()
+    while (tokens[0] === '') tokens.shift()
+    langVectors.push({ language, profile: 'full', text, tokens: Array.from(new Set(tokens)) })
+  }
+}
 writeFileSync('/root/repo/tests/vectors/tokenizer_langs.json', JSON.stringify(langVectors, null, 1))
 
 // Snowball stemmer vectors for de/fr/es/it: run the reference's
