@@ -865,3 +865,393 @@ STEMMERS: dict[str, callable] = {
     "spanish": stem_es,
     "italian": stem_it,
 }
+
+
+# =============================================================== Russian
+
+_RU_VOWELS = "аеиоуыэюя"
+
+_RU_PERF_GERUND_1 = ("вшись", "вши", "в")            # require preceding а/я
+_RU_PERF_GERUND_2 = ("ившись", "ывшись", "ивши", "ывши", "ив", "ыв")
+_RU_ADJECTIVE = ("ими", "ыми", "его", "ого", "ему", "ому", "ее", "ие",
+                 "ые", "ое", "ей", "ий", "ый", "ой", "ем", "им", "ым",
+                 "ом", "их", "ых", "ую", "юю", "ая", "яя", "ою", "ею")
+_RU_PARTICIPLE_1 = ("ем", "нн", "вш", "ющ", "щ")     # require preceding а/я
+_RU_PARTICIPLE_2 = ("ивш", "ывш", "ующ")
+_RU_VERB_1 = ("ешь", "нно", "ете", "йте", "ла", "на", "ли", "ем", "ло",
+              "но", "ет", "ют", "ны", "ть", "й", "л", "н")  # preceding а/я
+_RU_VERB_2 = ("ейте", "уйте", "ила", "ыла", "ена", "ите", "или", "ыли",
+              "ило", "ыло", "ено", "ует", "уют", "ены", "ить", "ыть",
+              "ишь", "ей", "уй", "ил", "ыл", "им", "ым", "ен", "ят",
+              "ит", "ыт", "ую", "ю")
+_RU_NOUN = ("иями", "ями", "ами", "ией", "иям", "ием", "иях", "ев", "ов",
+            "ие", "ье", "еи", "ии", "ей", "ой", "ий", "ям", "ем", "ам",
+            "ом", "ах", "ях", "ию", "ью", "ия", "ья", "а", "е", "и",
+            "й", "о", "у", "ы", "ь", "ю", "я")
+
+
+def stem_ru(word: str) -> str:
+    """Snowball Russian (snowballstem.org/algorithms/russian/stemmer.html).
+    All steps operate within RV; 'preceded by а/я' tests stay in RV too.
+    Prelude: ё is folded to е (as the reference stemmer does)."""
+    w = word.replace("ё", "е")
+    n = len(w)
+    # RV: after the first vowel; R2: standard
+    rv = n
+    for i, ch in enumerate(w):
+        if ch in _RU_VOWELS:
+            rv = i + 1
+            break
+    _, r2 = _r1_r2(w, _RU_VOWELS)
+
+    def in_rv(wl: int, slen: int) -> bool:
+        return wl - slen >= rv
+
+    def del_grp1(word_: str, sufs: tuple) -> str | None:
+        """Suffixes requiring a preceding а/я (the а/я is kept)."""
+        for suf in sorted(sufs, key=len, reverse=True):
+            if word_.endswith(suf) and in_rv(len(word_), len(suf) + 1):
+                if word_[-len(suf) - 1] in "ая":
+                    return word_[: -len(suf)]
+        return None
+
+    def del_grp(word_: str, sufs: tuple) -> str | None:
+        for suf in sorted(sufs, key=len, reverse=True):
+            if word_.endswith(suf) and in_rv(len(word_), len(suf)):
+                return word_[: -len(suf)]
+        return None
+
+    def del_longest(word_: str, grp1: tuple, grp2: tuple) -> str | None:
+        """Snowball among over BOTH groups: pick the longest matching
+        suffix (with grp1's preceding-а/я condition); a matched suffix
+        whose condition fails ends the among."""
+        cands = [(s, 1) for s in grp1] + [(s, 2) for s in grp2]
+        for suf, g in sorted(cands, key=lambda t: len(t[0]), reverse=True):
+            if not word_.endswith(suf) or not in_rv(len(word_), len(suf)):
+                continue
+            if g == 1:
+                if in_rv(len(word_), len(suf) + 1) and word_[-len(suf) - 1] in "ая":
+                    return word_[: -len(suf)]
+                return None  # matched but condition failed -> among fails
+            return word_[: -len(suf)]
+        return None
+
+    # step 1
+    out = del_longest(w, _RU_PERF_GERUND_1, _RU_PERF_GERUND_2)
+    if out is not None:
+        w = out
+    else:
+        # reflexive (try)
+        for suf in ("ся", "сь"):
+            if w.endswith(suf) and in_rv(len(w), len(suf)):
+                w = w[: -len(suf)]
+                break
+        # adjectival | verb | noun
+        adj = del_grp(w, _RU_ADJECTIVE)
+        if adj is not None:
+            w = adj
+            part = del_longest(w, _RU_PARTICIPLE_1, _RU_PARTICIPLE_2)
+            if part is not None:
+                w = part
+        else:
+            verb = del_longest(w, _RU_VERB_1, _RU_VERB_2)
+            if verb is not None:
+                w = verb
+            else:
+                noun = del_grp(w, _RU_NOUN)
+                if noun is not None:
+                    w = noun
+
+    # step 2: final и
+    if w.endswith("и") and in_rv(len(w), 1):
+        w = w[:-1]
+
+    # step 3: derivational (in R2, within RV)
+    for suf in ("ость", "ост"):
+        if w.endswith(suf) and in_rv(len(w), len(suf)) and _in(r2, len(w), len(suf)):
+            w = w[: -len(suf)]
+            break
+
+    # step 4: tidy up (longest among нн / ейше / ейш / ь)
+    for suf in ("ейше", "ейш", "нн", "ь"):
+        if not w.endswith(suf) or not in_rv(len(w), len(suf)):
+            continue
+        if suf == "нн":
+            w = w[:-1]
+        elif suf == "ь":
+            w = w[:-1]
+        else:
+            w = w[: -len(suf)]
+            if w.endswith("нн") and in_rv(len(w), 2):
+                w = w[:-1]
+        break
+
+    return w
+
+
+STEMMERS["russian"] = stem_ru
+
+
+# ============================================================ Portuguese
+
+_PT_VOWELS = "aeiouáéíóúâêô"
+
+
+def stem_pt(word: str) -> str:
+    """Snowball Portuguese. Prelude marks nasal vowels (ã -> a~, õ -> o~,
+    ~ being a consonant); postlude restores them."""
+    w = word.replace("ã", "a~").replace("õ", "o~")
+    rv = _es_rv_generic(w, _PT_VOWELS)
+    r1, r2 = _r1_r2(w, _PT_VOWELS)
+
+    def in_rv(slen: int, wl: int | None = None) -> bool:
+        return _in(rv, wl if wl is not None else len(w), slen)
+
+    def in_r1(slen: int) -> bool:
+        return _in(r1, len(w), slen)
+
+    def in_r2(slen: int, wl: int | None = None) -> bool:
+        return _in(r2, wl if wl is not None else len(w), slen)
+
+    changed = False
+    # ---- step 1: standard suffixes (longest match) ----
+    s1 = sorted(
+        ["eza", "ezas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+         "ável", "ível", "ista", "istas", "oso", "osa", "osos", "osas",
+         "amento", "amentos", "imento", "imentos",
+         "adora", "ador", "aça~o", "adoras", "adores", "aço~es",
+         "ante", "antes", "ância",
+         "logia", "logias", "uça~o", "uço~es", "ência", "ências",
+         "amente", "mente", "idade", "idades",
+         "iva", "ivo", "ivas", "ivos", "ira", "iras"],
+        key=len, reverse=True,
+    )
+    for suf in s1:
+        if not w.endswith(suf):
+            continue
+        sl = len(suf)
+        base = w[:-sl]
+        if suf in ("eza", "ezas", "ico", "ica", "icos", "icas", "ismo",
+                   "ismos", "ável", "ível", "ista", "istas", "oso", "osa",
+                   "osos", "osas", "amento", "amentos", "imento",
+                   "imentos"):
+            if in_r2(sl):
+                w, changed = base, True
+        elif suf in ("adora", "ador", "aça~o", "adoras", "adores",
+                     "aço~es", "ante", "antes", "ância"):
+            if in_r2(sl):
+                w, changed = base, True
+        elif suf in ("logia", "logias"):
+            if in_r2(sl):
+                w, changed = base + "log", True
+        elif suf in ("uça~o", "uço~es"):
+            if in_r2(sl):
+                w, changed = base + "u", True
+        elif suf in ("ência", "ências"):
+            if in_r2(sl):
+                w, changed = base + "ente", True
+        elif suf == "amente":
+            if in_r1(sl):
+                w, changed = base, True
+                if w.endswith("iv") and _in(r2, len(w), 2):
+                    w = w[:-2]
+                    if w.endswith("at") and _in(r2, len(w), 2):
+                        w = w[:-2]
+                else:
+                    for pre in ("os", "ic", "ad"):
+                        if w.endswith(pre) and _in(r2, len(w), 2):
+                            w = w[:-2]
+                            break
+        elif suf == "mente":
+            if in_r2(sl):
+                w, changed = base, True
+                for pre in ("ante", "avel", "ível"):
+                    if w.endswith(pre) and _in(r2, len(w), 4):
+                        w = w[:-4]
+                        break
+        elif suf in ("idade", "idades"):
+            if in_r2(sl):
+                w, changed = base, True
+                if w.endswith("abil") and _in(r2, len(w), 4):
+                    w = w[:-4]
+                else:
+                    for pre in ("ic", "iv"):
+                        if w.endswith(pre) and _in(r2, len(w), 2):
+                            w = w[:-2]
+                            break
+        elif suf in ("iva", "ivo", "ivas", "ivos"):
+            if in_r2(sl):
+                w, changed = base, True
+                if w.endswith("at") and _in(r2, len(w), 2):
+                    w = w[:-2]
+        elif suf in ("ira", "iras"):
+            # replace with ir if in RV and preceded by e
+            if in_rv(sl) and base.endswith("e"):
+                w, changed = base + "ir", True
+        break
+
+    # ---- step 2: verb suffixes (if step 1 changed nothing) ----
+    step2 = False
+    if not changed:
+        verb_sufs = sorted(
+            ["aríamos", "eríamos", "iríamos", "ássemos", "êssemos",
+             "íssemos", "aríeis", "eríeis", "iríeis", "ásseis", "ésseis",
+             "ísseis", "áramos", "éramos", "íramos", "ávamos", "aremos",
+             "eremos", "iremos", "ariam", "eriam", "iriam", "assem",
+             "essem", "issem", "ara~o", "era~o", "ira~o", "arias",
+             "erias", "irias", "ardes", "erdes", "irdes", "asses",
+             "esses", "isses", "astes", "estes", "istes", "áreis",
+             "areis", "éreis", "ereis", "íreis", "ireis", "áveis",
+             "íamos", "armos", "ermos", "irmos", "aria", "eria", "iria",
+             "asse", "esse", "isse", "aste", "este", "iste", "arei",
+             "erei", "irei", "aram", "eram", "iram", "avam", "arem",
+             "erem", "irem", "ando", "endo", "indo", "adas", "idas",
+             "arás", "aras", "erás", "eras", "irás", "avas", "ares",
+             "eres", "ires", "íeis", "ados", "idos", "ámos", "amos",
+             "emos", "imos", "iras", "ada", "ida", "ará", "ara", "erá",
+             "era", "irá", "ava", "iam", "ado", "ido", "ias", "ais",
+             "eis", "ira", "ia", "ei", "am", "em", "ar", "er", "ir",
+             "as", "es", "is", "eu", "iu", "ou"],
+            key=len, reverse=True,
+        )
+        for suf in verb_sufs:
+            if w.endswith(suf) and in_rv(len(suf)):
+                w = w[: -len(suf)]
+                changed = True
+                step2 = True
+                break
+
+    # ---- step 3 / step 4 ----
+    if changed:
+        # step 3: final i preceded by c, in RV
+        if w.endswith("i") and in_rv(1) and len(w) >= 2 and w[-2] == "c":
+            w = w[:-1]
+    else:
+        # step 4: residual suffix
+        for suf in ("os", "a", "i", "o", "á", "í", "ó"):
+            if w.endswith(suf) and in_rv(len(suf)):
+                w = w[: -len(suf)]
+                break
+
+    # ---- step 5: residual form ----
+    for suf in ("e", "é", "ê"):
+        if w.endswith(suf) and in_rv(1):
+            w = w[:-1]
+            # if preceded by gu (u in RV) or ci (i in RV), delete u/i
+            if w.endswith("gu") and _in(rv, len(w) + 1, 2):
+                w = w[:-1]
+            elif w.endswith("ci") and _in(rv, len(w) + 1, 2):
+                w = w[:-1]
+            break
+    else:
+        if w.endswith("ç"):
+            w = w[:-1] + "c"
+
+    return w.replace("a~", "ã").replace("o~", "õ")
+
+
+STEMMERS["portuguese"] = stem_pt
+
+
+# ================================================================= Dutch
+
+_NL_VOWELS = "aeiouyè"
+
+
+def stem_nl(word: str) -> str:
+    """Snowball Dutch."""
+    # prelude: fold umlauts/acutes, then mark consonantal i/y uppercase
+    w = word.translate(str.maketrans("äëïöüáéíóú", "aeiouaeiou"))
+    chars = list(w)
+    n = len(chars)
+    for i in range(n):
+        if chars[i] == "y" and (i == 0 or w[i - 1] in _NL_VOWELS):
+            chars[i] = "Y"
+        elif chars[i] == "i" and 0 < i < n - 1 and w[i - 1] in _NL_VOWELS and w[i + 1] in _NL_VOWELS:
+            chars[i] = "I"
+    w = "".join(chars)
+
+    r1, r2 = _r1_r2(w, _NL_VOWELS)
+    r1 = max(r1, 3)
+
+    def in_r1(slen: int, wl: int | None = None) -> bool:
+        return _in(r1, wl if wl is not None else len(w), slen)
+
+    def in_r2(slen: int, wl: int | None = None) -> bool:
+        return _in(r2, wl if wl is not None else len(w), slen)
+
+    def undouble(word_: str) -> str:
+        for dbl in ("kk", "dd", "tt"):
+            if word_.endswith(dbl):
+                return word_[:-1]
+        return word_
+
+    # ---- step 1 ----
+    if w.endswith("heden"):
+        if in_r1(5):
+            w = w[:-5] + "heid"
+    elif w.endswith("ene") or w.endswith("en"):
+        sl = 3 if w.endswith("ene") else 2
+        base = w[:-sl]
+        # valid en-ending: preceded by a non-vowel, and not 'gem'
+        if in_r1(sl) and base and base[-1] not in _NL_VOWELS and not base.endswith("gem"):
+            w = undouble(base)
+    elif w.endswith("se") or w.endswith("s"):
+        sl = 2 if w.endswith("se") else 1
+        base = w[:-sl]
+        # valid s-ending: non-vowel other than j
+        if in_r1(sl) and base and base[-1] not in _NL_VOWELS + "j":
+            w = base
+
+    # ---- step 2: final e preceded by a non-vowel ----
+    e_removed = False
+    if w.endswith("e") and in_r1(1) and len(w) >= 2 and w[-2] not in _NL_VOWELS:
+        w = undouble(w[:-1])
+        e_removed = True
+
+    # ---- step 3a: heid ----
+    if w.endswith("heid") and in_r2(4) and (len(w) < 5 or w[-5] != "c"):
+        w = w[:-4]
+        if w.endswith("en"):
+            base = w[:-2]
+            if in_r1(2) and base and base[-1] not in _NL_VOWELS and not base.endswith("gem"):
+                w = undouble(base)
+
+    # ---- step 3b: d-suffixes ----
+    if w.endswith("end") or w.endswith("ing"):
+        if in_r2(3):
+            w = w[:-3]
+            if w.endswith("ig") and in_r2(2) and (len(w) < 3 or w[-3] != "e"):
+                w = w[:-2]
+            else:
+                w = undouble(w)
+    elif w.endswith("ig"):
+        if in_r2(2) and (len(w) < 3 or w[-3] != "e"):
+            w = w[:-2]
+    elif w.endswith("lijk"):
+        if in_r2(4):
+            w = w[:-4]
+            # repeat step 2
+            if w.endswith("e") and in_r1(1) and len(w) >= 2 and w[-2] not in _NL_VOWELS:
+                w = undouble(w[:-1])
+    elif w.endswith("baar"):
+        if in_r2(4):
+            w = w[:-4]
+    elif w.endswith("bar"):
+        if in_r2(3) and e_removed:
+            w = w[:-3]
+
+    # ---- step 4: undouble vowel (C v v C, final consonant not I) ----
+    if len(w) >= 4:
+        c1, v1, v2, c2 = w[-4], w[-3], w[-2], w[-1]
+        if (
+            c2 not in _NL_VOWELS and c2 != "I"
+            and v1 == v2 and v1 in "aeou"
+            and c1 not in _NL_VOWELS
+        ):
+            w = w[:-2] + c2
+
+    return w.replace("I", "i").replace("Y", "y")
+
+
+STEMMERS["dutch"] = stem_nl

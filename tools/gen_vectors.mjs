@@ -263,6 +263,18 @@ const langStemWords = {
     'indipendentemente', 'irresponsabilità', 'giocherellone', 'guardandoglielo',
     'pericolosamente', 'meravigliosamente', 'internazionalizzazione'],
 }
+langStemWords.ru = ['работами', 'книгой', 'говорившись', 'быстрейший',
+  'красивые', 'человечество', 'деревьях', 'учительницами', 'величайшему',
+  'зелёный', 'бежать', 'спрашивают', 'написанный', 'интереснейших',
+  'правительственного', 'возможностями', 'остановиться', 'пользовательский']
+langStemWords.pt = ['nacionalidade', 'comunicações', 'universidades',
+  'felicidade', 'rapidamente', 'trabalhadores', 'organizações', 'chegaram',
+  'construções', 'corações', 'meninas', 'logias', 'amorosamente',
+  'habilíssimo', 'cantaríamos', 'vivêssemos', 'importantes', 'realização']
+langStemWords.nl = ['werkzaamheden', 'boeken', 'snelheden', 'mogelijkheden',
+  'grootste', 'kinderen', 'vriendelijke', 'landelijke', 'lichamelijk',
+  'schrijvende', 'bewegingen', 'vrijheid', 'gemeenten', 'huizen', 'loopbaar',
+  'spreekbaar', 'gekkigheid', 'aandoeningen']
 const stemLangVectors = []
 for (const [code, words] of Object.entries(langStemWords)) {
   const { stemmer: st } = await import(`/root/reference/packages/stemmers/lib/${code}.js`)
