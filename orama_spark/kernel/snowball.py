@@ -1255,3 +1255,171 @@ def stem_nl(word: str) -> str:
 
 
 STEMMERS["dutch"] = stem_nl
+
+
+# ========================================================== Scandinavian
+
+def _scan_r1(w: str, vowels: str) -> int:
+    r1, _ = _r1_r2(w, vowels)
+    return max(r1, 3)
+
+
+_DA_VOWELS = "aeiouyæåø"
+_DA_S_END = "abcdfghjklmnoprtvyzå"
+_DA_STEP1 = sorted(
+    ["hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
+     "erne", "ere", "en", "heden", "eren", "er", "heder", "erer",
+     "heds", "es", "endes", "erendes", "enes", "ernes", "eres", "ens",
+     "hedens", "erens", "ers", "ets", "erets", "et", "eret"],
+    key=len, reverse=True,
+)
+
+
+def stem_da(word: str) -> str:
+    """Snowball Danish."""
+    w = word
+    r1 = _scan_r1(w, _DA_VOWELS)
+
+    def in_r1(slen: int, wl: int | None = None) -> bool:
+        return _in(r1, wl if wl is not None else len(w), slen)
+
+    # step 1
+    for suf in _DA_STEP1:
+        if w.endswith(suf) and in_r1(len(suf)):
+            w = w[: -len(suf)]
+            break
+    else:
+        if (w.endswith("s") and in_r1(1) and len(w) >= 2
+                and w[-2] in _DA_S_END):
+            w = w[:-1]
+
+    # step 2: consonant pair endings -> drop last letter
+    if in_r1(2) and w[-2:] in ("gd", "dt", "gt", "kt"):
+        w = w[:-1]
+
+    # step 3
+    if w.endswith("igst") and in_r1(4):
+        w = w[:-2]
+    for suf in ("elig", "lig", "els", "ig"):
+        if w.endswith(suf) and in_r1(len(suf)):
+            w = w[: -len(suf)]
+            if in_r1(2) and w[-2:] in ("gd", "dt", "gt", "kt"):
+                w = w[:-1]
+            break
+    else:
+        if w.endswith("løst") and in_r1(4):
+            w = w[:-1]
+
+    # step 4: undouble final double consonant in R1
+    if (len(w) >= 2 and w[-1] == w[-2] and w[-1] not in _DA_VOWELS
+            and in_r1(1)):
+        w = w[:-1]
+    return w
+
+
+_NO_VOWELS = "aeiouyæåø"
+_NO_S_END = "bcdfghjlmnoprtvyz"
+_NO_STEP1 = sorted(
+    ["a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "en",
+     "heten", "ar", "er", "heter", "as", "es", "edes", "endes", "enes",
+     "hetenes", "ens", "hetens", "ers", "ets", "et", "het", "ast"],
+    key=len, reverse=True,
+)
+_NO_STEP3 = sorted(
+    ["leg", "eleg", "ig", "eig", "lig", "elig", "els", "lov", "elov",
+     "slov", "hetslov"],
+    key=len, reverse=True,
+)
+
+
+def stem_no(word: str) -> str:
+    """Snowball Norwegian."""
+    w = word
+    r1 = _scan_r1(w, _NO_VOWELS)
+
+    def in_r1(slen: int, wl: int | None = None) -> bool:
+        return _in(r1, wl if wl is not None else len(w), slen)
+
+    # step 1 (longest among incl. erte/ert and the s-rule)
+    cands = [(s, "del") for s in _NO_STEP1] + [("erte", "er"), ("ert", "er"), ("s", "s")]
+    for suf, action in sorted(cands, key=lambda t: len(t[0]), reverse=True):
+        if not w.endswith(suf) or not in_r1(len(suf)):
+            continue
+        if action == "del":
+            w = w[: -len(suf)]
+        elif action == "er":
+            w = w[: -len(suf)] + "er"
+        else:  # s: valid s-ending = listed consonant, or k not after vowel
+            if len(w) < 2:
+                continue
+            prev = w[-2]
+            ok = prev in _NO_S_END or (
+                prev == "k" and (len(w) < 3 or w[-3] not in _NO_VOWELS)
+            )
+            if not ok:
+                continue
+            w = w[:-1]
+        break
+
+    # step 2
+    if in_r1(2) and w[-2:] in ("dt", "vt"):
+        w = w[:-1]
+
+    # step 3
+    for suf in _NO_STEP3:
+        if w.endswith(suf) and in_r1(len(suf)):
+            w = w[: -len(suf)]
+            break
+    return w
+
+
+_SV_VOWELS = "aeiouyäåö"
+_SV_S_END = "bcdfghjklmnoprtvy"
+_SV_STEP1 = sorted(
+    ["a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande",
+     "arne", "are", "aste", "en", "anden", "aren", "heten", "ern", "ar",
+     "er", "heter", "or", "as", "arnas", "ernas", "ornas", "es", "ades",
+     "andes", "ens", "arens", "hetens", "erns", "at", "andet", "het",
+     "ast"],
+    key=len, reverse=True,
+)
+
+
+def stem_sv(word: str) -> str:
+    """Snowball Swedish."""
+    w = word
+    r1 = _scan_r1(w, _SV_VOWELS)
+
+    def in_r1(slen: int, wl: int | None = None) -> bool:
+        return _in(r1, wl if wl is not None else len(w), slen)
+
+    # step 1
+    for suf in _SV_STEP1:
+        if w.endswith(suf) and in_r1(len(suf)):
+            w = w[: -len(suf)]
+            break
+    else:
+        if (w.endswith("s") and in_r1(1) and len(w) >= 2
+                and w[-2] in _SV_S_END):
+            w = w[:-1]
+
+    # step 2
+    if in_r1(2) and w[-2:] in ("dd", "gd", "nn", "dt", "gt", "kt", "tt"):
+        w = w[:-1]
+
+    # step 3
+    for suf in ("lig", "ig", "els"):
+        if w.endswith(suf) and in_r1(len(suf)):
+            w = w[: -len(suf)]
+            break
+    else:
+        if w.endswith("löst") and in_r1(4):
+            w = w[:-1]
+        elif w.endswith("fullt") and in_r1(5):
+            w = w[:-1]
+    return w
+
+
+STEMMERS["danish"] = stem_da
+STEMMERS["norwegian"] = stem_no
+STEMMERS["swedish"] = stem_sv

@@ -275,6 +275,15 @@ langStemWords.nl = ['werkzaamheden', 'boeken', 'snelheden', 'mogelijkheden',
   'grootste', 'kinderen', 'vriendelijke', 'landelijke', 'lichamelijk',
   'schrijvende', 'bewegingen', 'vrijheid', 'gemeenten', 'huizen', 'loopbaar',
   'spreekbaar', 'gekkigheid', 'aandoeningen']
+langStemWords.dk = ['arbejderne', 'hurtigst', 'kærligheden', 'mulighederne',
+  'vigtigste', 'venlighed', 'børnene', 'husets', 'løbende', 'smukkeste',
+  'indvendigst', 'storhedens']
+langStemWords.no = ['arbeiderne', 'hurtigst', 'kjærligheten', 'mulighetene',
+  'viktigste', 'vennlighet', 'barna', 'husets', 'løpende', 'vakreste',
+  'storhetens', 'hetslov', 'bokerte']
+langStemWords.se = ['arbetarna', 'snabbaste', 'kärleken', 'möjligheterna',
+  'viktigaste', 'vänlighet', 'barnen', 'husets', 'springande', 'vackraste',
+  'storhetens', 'fullt', 'löst']
 const stemLangVectors = []
 for (const [code, words] of Object.entries(langStemWords)) {
   const { stemmer: st } = await import(`/root/reference/packages/stemmers/lib/${code}.js`)
