@@ -1423,3 +1423,162 @@ def stem_sv(word: str) -> str:
 STEMMERS["danish"] = stem_da
 STEMMERS["norwegian"] = stem_no
 STEMMERS["swedish"] = stem_sv
+
+
+# ============================================================== Romanian
+
+_RO_VOWELS = "aeiouăâî"
+
+_RO_S1 = [
+    ("abilitate", "abil"), ("abilitati", "abil"), ("abilităi", "abil"),
+    ("abilităţi", "abil"), ("ibilitate", "ibil"),
+    ("ivitate", "iv"), ("ivitati", "iv"), ("ivităi", "iv"), ("ivităţi", "iv"),
+    ("icitate", "ic"), ("icitati", "ic"), ("icităi", "ic"), ("icităţi", "ic"),
+    ("icatori", "ic"), ("icator", "ic"),
+    ("iciva", "ic"), ("icive", "ic"), ("icivi", "ic"), ("icivă", "ic"),
+    ("iciv", "ic"), ("icala", "ic"), ("icale", "ic"), ("icali", "ic"),
+    ("icală", "ic"), ("ical", "ic"),
+    ("ativa", "at"), ("ative", "at"), ("ativi", "at"), ("ativă", "at"),
+    ("ativ", "at"), ("aţiune", "at"), ("atoare", "at"), ("atori", "at"),
+    ("ator", "at"), ("ătoare", "at"), ("ători", "at"), ("ător", "at"),
+    ("itiva", "it"), ("itive", "it"), ("itivi", "it"), ("itivă", "it"),
+    ("itiv", "it"), ("iţiune", "it"), ("itoare", "it"), ("itori", "it"),
+    ("itor", "it"),
+]
+_RO_S2_DEL = [
+    "ica", "abila", "ibila", "oasa", "ata", "ita", "anta", "uta", "iva",
+    "ic", "ice", "abile", "ibile", "oase", "ate", "itate", "ite", "ante",
+    "ute", "ive", "ici", "abili", "ibili", "atori", "osi", "oşi", "ati",
+    "itati", "ităi", "ităţi", "iti", "anti", "uti", "ivi", "abil",
+    "ibil", "ator", "os", "at", "it", "ant", "ut", "iv",
+    "ică", "abilă", "ibilă", "oasă", "ată", "ită", "antă", "ută", "ivă",
+]
+_RO_S2_IST = ["isme", "ism", "ista", "iste", "isti", "istă", "işti", "ist"]
+_RO_VERB_1 = [
+    "are", "ere", "ire", "âre", "ind", "ând", "indu", "ându", "eze",
+    "ează", "ez", "ezi", "ească", "esc", "ăsc", "eşti", "eşte", "ăşti",
+    "ăşte", "am", "ai", "au", "eam", "eai", "ea", "eaţi", "eau", "iam",
+    "iai", "ia", "iaţi", "iau", "ui", "aşi", "arăm", "arăţi", "ară",
+    "uşi", "urăm", "urăţi", "ură", "işi", "irăm", "irăţi", "iră", "âi",
+    "âşi", "ârăm", "ârăţi", "âră", "asem", "aseşi", "ase", "aserăm",
+    "aserăţi", "aseră", "isem", "iseşi", "ise", "iserăm", "iserăţi",
+    "iseră", "âsem", "âseşi", "âse", "âserăm", "âserăţi", "âseră",
+    "usem", "useşi", "use", "userăm", "userăţi", "useră",
+]
+_RO_VERB_2 = [
+    "ăm", "aţi", "em", "eţi", "im", "iţi", "âm", "âţi", "seşi", "serăm",
+    "serăţi", "seră", "sei", "se", "sesem", "seseşi", "sese", "seserăm",
+    "seserăţi", "seseră",
+]
+
+
+def stem_ro(word: str) -> str:
+    """Snowball Romanian, bit-compatible with the reference's compiled
+    stemmer: CEDILLA spellings (ş U+015F / ţ U+0163) in every table —
+    comma-below input (ș/ț) is NOT folded and simply doesn't match,
+    exactly as the reference behaves (verified by probing)."""
+    w = word
+    # prelude: mark u/i between vowels (sequential, evolving string)
+    chars = list(w)
+    n = len(chars)
+    c = 0
+    while c < n:
+        if chars[c] in _RO_VOWELS and c + 1 < n:
+            nx = chars[c + 1]
+            if nx in "ui" and c + 2 < n and chars[c + 2] in _RO_VOWELS:
+                chars[c + 1] = nx.upper()
+                c += 2
+                continue
+        c += 1
+    w = "".join(chars)
+
+    rv = _es_rv_generic(w, _RO_VOWELS)
+    r1, r2 = _r1_r2(w, _RO_VOWELS)
+
+    def in_rv(slen: int) -> bool:
+        return _in(rv, len(w), slen)
+
+    def in_r1(slen: int) -> bool:
+        return _in(r1, len(w), slen)
+
+    def in_r2(slen: int) -> bool:
+        return _in(r2, len(w), slen)
+
+    # ---- step 0: plural / article (R1) ----
+    s0 = [
+        ("ului", ""), ("ul", ""), ("aua", "a"), ("elor", "e"), ("ele", "e"),
+        ("ea", "e"), ("iilor", "i"), ("iile", "i"), ("iei", "i"),
+        ("iua", "i"), ("ii", "i"), ("ilor", "i"), ("ile", "i"),
+        ("atei", "at"), ("aţie", "aţi"), ("aţia", "aţi"),
+    ]
+    for suf, rep in sorted(s0, key=lambda t: len(t[0]), reverse=True):
+        if not w.endswith(suf):
+            continue
+        # among: longest STRING match wins; a failed condition aborts
+        if in_r1(len(suf)) and not (suf == "ile" and w[: -3].endswith("ab")):
+            w = w[: -len(suf)] + rep
+        break
+
+    # ---- step 1: combining suffixes (R1, repeat) ----
+    step1_done = False
+    while True:
+        hit = False
+        for suf, rep in sorted(_RO_S1, key=lambda t: len(t[0]), reverse=True):
+            if w.endswith(suf):
+                if in_r1(len(suf)):
+                    w = w[: -len(suf)] + rep
+                    hit = True
+                    step1_done = True
+                break
+        if not hit:
+            break
+
+    # ---- step 2: standard suffixes (R2) ----
+    step2_done = False
+    for suf in sorted(_RO_S2_DEL + _RO_S2_IST + ["iune", "iuni"],
+                      key=len, reverse=True):
+        if not w.endswith(suf):
+            continue
+        if not in_r2(len(suf)):
+            break  # longest string match, condition failed -> among fails
+        if suf in ("iune", "iuni"):
+            if w[: -len(suf)].endswith("ţ"):
+                w = w[: -len(suf) - 1] + "t"
+                step2_done = True
+        elif suf in _RO_S2_IST:
+            w = w[: -len(suf)] + "ist"
+            step2_done = True
+        else:
+            w = w[: -len(suf)]
+            step2_done = True
+        break
+
+    # ---- step 3: verb suffixes (RV; only if steps 1&2 removed nothing) ----
+    if not step1_done and not step2_done:
+        cands = [(s_, 1) for s_ in _RO_VERB_1] + [(s_, 2) for s_ in _RO_VERB_2]
+        for suf, g in sorted(cands, key=lambda t: len(t[0]), reverse=True):
+            # the verb among is setlimit-to-RV: a suffix extending beyond
+            # RV does not MATCH and shorter candidates are tried
+            if not w.endswith(suf) or not in_rv(len(suf)):
+                continue
+            if g == 1:
+                base = w[: -len(suf)]
+                if (_in(rv, len(w), len(suf) + 1) and base
+                        and (base[-1] not in _RO_VOWELS or base[-1] == "u")):
+                    w = base
+                break
+            w = w[: -len(suf)]
+            break
+
+    # ---- step 4: final vowel (RV) ----
+    for suf in ("ie", "a", "e", "i", "ă"):
+        if not w.endswith(suf):
+            continue
+        if in_rv(len(suf)):
+            w = w[: -len(suf)]
+        break
+
+    return w.replace("I", "i").replace("U", "u")
+
+
+STEMMERS["romanian"] = stem_ro

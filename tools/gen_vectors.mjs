@@ -284,6 +284,10 @@ langStemWords.no = ['arbeiderne', 'hurtigst', 'kjærligheten', 'mulighetene',
 langStemWords.se = ['arbetarna', 'snabbaste', 'kärleken', 'möjligheterna',
   'viktigaste', 'vänlighet', 'barnen', 'husets', 'springande', 'vackraste',
   'storhetens', 'fullt', 'löst']
+langStemWords.ro = ['lucrează', 'cântaţi', 'copilului', 'naţionalitate',
+  'comunicaţie', 'posibilitati', 'activitate', 'iubirea', 'vorbeşte',
+  'românesc', 'lucrătoare', 'abilitati', 'frumoasă', 'copiii',
+  'mâncarea', 'scriitori', 'xsesem', 'cititati', 'scrie', 'lucrici']
 const stemLangVectors = []
 for (const [code, words] of Object.entries(langStemWords)) {
   const { stemmer: st } = await import(`/root/reference/packages/stemmers/lib/${code}.js`)
