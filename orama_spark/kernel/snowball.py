@@ -1582,3 +1582,142 @@ def stem_ro(word: str) -> str:
 
 
 STEMMERS["romanian"] = stem_ro
+
+
+# ============================================================= Hungarian
+
+_HU_VOWELS = "aeiouáéíóöőúüű"
+_HU_DIGRAPHS = ("cs", "dzs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLES = ("bb", "cc", "ccs", "dd", "ff", "gg", "ggy", "jj", "kk",
+               "ll", "lly", "mm", "nn", "nny", "pp", "rr", "ss", "ssz",
+               "tt", "tty", "vv", "zz", "zzs")
+
+
+def _hu_r1(w: str) -> int:
+    """Hungarian R1: vowel-initial word -> after the first consonant or
+    digraph; consonant-initial -> after the first vowel."""
+    n = len(w)
+    if n == 0:
+        return 0
+    if w[0] in _HU_VOWELS:
+        i = 1
+        while i < n and w[i] in _HU_VOWELS:
+            i += 1
+        if i >= n:
+            return n
+        # consonant found; digraphs count as one unit
+        for d in sorted(_HU_DIGRAPHS, key=len, reverse=True):
+            if w.startswith(d, i):
+                return i + len(d)
+        return i + 1
+    i = 1
+    while i < n and w[i] not in _HU_VOWELS:
+        i += 1
+    return i + 1 if i < n else n
+
+
+def _hu_double(w: str) -> str | None:
+    """The double consonant the word ends with (longest), or None."""
+    for d in sorted(_HU_DOUBLES, key=len, reverse=True):
+        if w.endswith(d):
+            return d
+    return None
+
+
+def stem_hu(word: str) -> str:
+    """Snowball Hungarian: nine independent suffix passes, all in R1."""
+    w = word
+    r1 = _hu_r1(w)
+
+    def in_r1(slen: int) -> bool:
+        return _in(r1, len(w), slen)
+
+    def v_ending(word_: str) -> str:
+        if word_.endswith("á") and _in(r1, len(word_), 1):
+            return word_[:-1] + "a"
+        if word_.endswith("é") and _in(r1, len(word_), 1):
+            return word_[:-1] + "e"
+        return word_
+
+    def undouble(word_: str) -> str:
+        d = _hu_double(word_)
+        if d:
+            # remove one character of the double (ccs -> cs etc.)
+            return word_[: -len(d)] + d[1:] if len(d) == 3 else word_[:-1]
+        return word_
+
+    def among(table: list[tuple[str, str | None]]) -> bool:
+        """Longest string match; condition = in R1; action replaces the
+        suffix (None = table entry requires double-consonant handling)."""
+        nonlocal w
+        for suf, rep in sorted(table, key=lambda t: len(t[0]), reverse=True):
+            if not w.endswith(suf):
+                continue
+            if in_r1(len(suf)):
+                w = w[: -len(suf)] + (rep or "")
+                return True
+            return False
+        return False
+
+    # instrument: al/el preceded by a double consonant
+    for suf in ("al", "el"):
+        if w.endswith(suf) and in_r1(2) and _hu_double(w[:-2]):
+            w = undouble(w[:-2])
+            break
+
+    # case
+    case = ["ba", "ra", "be", "re", "ig", "nak", "nek", "val", "vel",
+            "ul", "nál", "nél", "ból", "ról", "tól", "ül", "ből", "ről",
+            "től", "n", "an", "ban", "en", "ben", "képpen", "on", "ön",
+            "képp", "kor", "t", "at", "et", "ként", "anként", "enként",
+            "onként", "ot", "ért", "öt", "hez", "hoz", "höz", "vá", "vé"]
+    if among([(s_, "") for s_ in case]):
+        w = v_ending(w)
+
+    # case_special
+    among([("ánként", "a"), ("án", "a"), ("én", "e")])
+
+    # case_other
+    among([("astul", ""), ("estül", ""), ("stul", ""), ("stül", ""),
+           ("ástul", "a"), ("éstül", "e")])
+
+    # factive: á/é preceded by a double consonant
+    for suf in ("á", "é"):
+        if w.endswith(suf) and in_r1(1) and _hu_double(w[:-1]):
+            w = undouble(w[:-1])
+            break
+
+    # owned
+    among([("áké", "a"), ("áéi", "a"), ("éké", "e"), ("ééi", "e"),
+           ("éé", "e"), ("ké", ""), ("oké", ""), ("eké", ""),
+           ("aké", ""), ("öké", ""), ("éi", ""), ("é", "")])
+
+    # sing_owner
+    among([("ünk", ""), ("unk", ""), ("nk", ""), ("ánk", "a"),
+           ("énk", "e"), ("uk", ""), ("juk", ""),
+           ("ük", ""), ("jük", ""), ("ájuk", "a"), ("éjük", "e"),
+           ("m", ""), ("am", ""), ("em", ""), ("om", ""), ("ám", "a"),
+           ("ém", "e"), ("o", ""), ("a", ""), ("e", ""), ("d", ""),
+           ("ad", ""), ("ed", ""), ("od", ""), ("öd", ""), ("ád", "a"),
+           ("éd", "e"), ("ja", ""), ("je", ""), ("á", "a"), ("é", "e")])
+
+    # plur_owner
+    among([("id", ""), ("aid", ""), ("jaid", ""), ("eid", ""),
+           ("jeid", ""), ("áid", "a"), ("éid", "e"), ("i", ""),
+           ("ai", ""), ("jai", ""), ("ei", ""), ("jei", ""), ("ái", "a"),
+           ("éi", "e"), ("itek", ""), ("eitek", ""), ("jeitek", ""),
+           ("éitek", "e"), ("ik", ""), ("aik", ""), ("jaik", ""),
+           ("eik", ""), ("jeik", ""), ("áik", "a"), ("éik", "e"),
+           ("ink", ""), ("aink", ""), ("jaink", ""), ("eink", ""),
+           ("jeink", ""), ("áink", "a"), ("éink", "e"), ("aitok", ""),
+           ("jaitok", ""), ("áitok", "a"), ("im", ""), ("aim", ""),
+           ("jaim", ""), ("eim", ""), ("jeim", ""), ("áim", "a"),
+           ("éim", "e")])
+
+    # plural
+    among([("ák", "a"), ("ék", "e"), ("ök", ""), ("ok", ""), ("ek", ""),
+           ("ak", ""), ("k", "")])
+    return w
+
+
+STEMMERS["hungarian"] = stem_hu

@@ -288,6 +288,10 @@ langStemWords.ro = ['lucrează', 'cântaţi', 'copilului', 'naţionalitate',
   'comunicaţie', 'posibilitati', 'activitate', 'iubirea', 'vorbeşte',
   'românesc', 'lucrătoare', 'abilitati', 'frumoasă', 'copiii',
   'mâncarea', 'scriitori', 'xsesem', 'cititati', 'scrie', 'lucrici']
+langStemWords.hu = ['munkánk', 'házakban', 'gyerekeknek', 'szépséges',
+  'könyvtárból', 'barátaimmal', 'lehetőségeket', 'asztalon', 'emberek',
+  'kertjeinkben', 'babáé', 'almákat', 'vízzel', 'kertté', 'munkástul',
+  'házánként', 'emberképpen']
 const stemLangVectors = []
 for (const [code, words] of Object.entries(langStemWords)) {
   const { stemmer: st } = await import(`/root/reference/packages/stemmers/lib/${code}.js`)
