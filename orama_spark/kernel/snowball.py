@@ -1721,3 +1721,175 @@ def stem_hu(word: str) -> str:
 
 
 STEMMERS["hungarian"] = stem_hu
+
+
+# =============================================================== Finnish
+
+_FI_V1 = "aeiouyäö"          # vowel grouping z
+_FI_V2 = "aeiouäö"           # grouping e (no y)
+_FI_PARTICLE_PREV = "aeiouyäönt"   # grouping A
+_FI_TIDY_V = "aeiä"          # grouping u
+_FI_LV = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+
+def stem_fi(word: str) -> str:
+    """Snowball Finnish, traced from the reference's compiled stemmer
+    (fi.js): particle -> possessive -> case -> other-endings ->
+    i/t-plural -> tidy, with the case among's condition-function
+    entries (den/tten/siin/seen) falling back to the bare 'n' rule."""
+    w = word
+    r1, r2 = _r1_r2(w, _FI_V1)
+    ended = False
+
+    def in_r1(slen: int, wl: int | None = None) -> bool:
+        return _in(r1, wl if wl is not None else len(w), slen)
+
+    def in_r2(slen: int, wl: int | None = None) -> bool:
+        return _in(r2, wl if wl is not None else len(w), slen)
+
+    # ---- particle etc (R1-limited among; condition failure aborts) ----
+    for suf in sorted(["pa", "sti", "kaan", "han", "kin", "hän", "kään",
+                       "ko", "pä", "kö"], key=len, reverse=True):
+        if not w.endswith(suf) or not in_r1(len(suf)):
+            continue
+        if suf == "sti":
+            if in_r2(3):
+                w = w[:-3]
+        elif len(w) > len(suf) and w[-len(suf) - 1] in _FI_PARTICLE_PREV:
+            w = w[: -len(suf)]
+        break
+
+    # ---- possessive (R1) ----
+    for suf in sorted(["nsa", "nsä", "mme", "nne", "ni", "si", "an",
+                       "en", "än"], key=len, reverse=True):
+        if not w.endswith(suf) or not in_r1(len(suf)):
+            continue
+        base = w[: -len(suf)]
+        if suf == "si":
+            if not base.endswith("k"):
+                w = base
+        elif suf == "ni":
+            w = base
+            if w.endswith("kse"):
+                w = w[:-1] + "i"
+        elif suf == "an":
+            if base.endswith(("lla", "na", "ssa", "ta", "lta", "sta")):
+                w = base
+        elif suf == "än":
+            if base.endswith(("llä", "nä", "ssä", "tä", "ltä", "stä")):
+                w = base
+        elif suf == "en":
+            if base.endswith(("lle", "ine")):
+                w = base
+        else:
+            w = base
+        break
+
+    # ---- case ending (R1 among; den/tten/siin/seen fall back to 'n') ----
+    hxn = {"han": "a", "hen": "e", "hin": "i", "hon": "o",
+           "hän": "ä", "hön": "ö"}
+    cases = sorted(
+        list(hxn.keys())
+        + ["den", "tten", "siin", "seen", "tta", "ttä", "a", "ä", "n",
+           "lla", "na", "ssa", "ta", "lta", "sta", "lle", "ine", "ksi",
+           "llä", "nä", "ssä", "tä", "ltä", "stä"],
+        key=len, reverse=True,
+    )
+
+    def vi_ok(base: str) -> bool:  # preceded by i + V2 vowel
+        return (len(base) >= 2 and base[-1] == "i"
+                and base[-2] in _FI_V2)
+
+    def do_n_rule() -> None:
+        nonlocal w, ended
+        base = w[:-1]
+        if base[-2:] in _FI_LV or base.endswith("ie"):
+            base = base[:-1]
+        w, ended = base, True
+
+    for suf in cases:
+        if not w.endswith(suf) or not in_r1(len(suf)):
+            continue
+        base = w[: -len(suf)]
+        if suf in ("den", "tten", "siin"):
+            if vi_ok(base):
+                w, ended = base, True
+            else:
+                do_n_rule()  # condition-fn failure -> parent 'n'
+        elif suf == "seen":
+            if base[-2:] in _FI_LV:
+                w, ended = base, True
+            else:
+                do_n_rule()
+        elif suf in hxn:
+            if base.endswith(hxn[suf]):
+                w, ended = base, True
+        elif suf in ("tta", "ttä"):
+            if base.endswith("e"):
+                w, ended = base, True
+        elif suf in ("a", "ä"):
+            if (len(base) >= 2 and base[-1] in _FI_V1
+                    and base[-2] not in _FI_V1):
+                w, ended = base, True
+        elif suf == "n":
+            do_n_rule()
+        else:
+            w, ended = base, True
+        break
+
+    # ---- other endings (R2 among; 'po' check aborts) ----
+    for suf in sorted(["eja", "ejä", "imma", "impa", "immi", "impi",
+                       "immä", "impä", "mma", "mpa", "mmi", "mpi",
+                       "mmä", "mpä"], key=len, reverse=True):
+        if not w.endswith(suf) or not in_r2(len(suf)):
+            continue
+        if suf in ("mma", "mpa", "mmi", "mpi", "mmä", "mpä"):
+            if not w[: -len(suf)].endswith("po"):
+                w = w[: -len(suf)]
+        else:
+            w = w[: -len(suf)]
+        break
+
+    # ---- i-plural / t-plural ----
+    if ended:
+        if w and w[-1] in "ij" and in_r1(1):
+            w = w[:-1]
+    else:
+        if (w.endswith("t") and in_r1(1) and len(w) >= 2
+                and w[-2] in _FI_V1):
+            w = w[:-1]
+            for suf in ("imma", "mma"):
+                if w.endswith(suf) and _in(r2, len(w), len(suf)):
+                    if suf == "mma" and w[: -3].endswith("po"):
+                        break
+                    w = w[: -len(suf)]
+                    break
+
+    # ---- tidy ----
+    # a) undouble a long vowel at the end of R1
+    if w[-2:] in _FI_LV and in_r1(2):
+        w = w[:-1]
+    # b) final a/e/i/ä preceded by a consonant — the preceding char must
+    # ALSO lie inside R1 (the whole tidy block runs under setlimit R1)
+    if (len(w) >= 2 and w[-1] in _FI_TIDY_V
+            and w[-2] not in _FI_V1 and in_r1(2)):
+        w = w[:-1]
+    # c) final j preceded by o or u (both in R1)
+    if (w.endswith("oj") or w.endswith("uj")) and in_r1(2):
+        w = w[:-1]
+    # d) final o preceded by j (both in R1)
+    if w.endswith("jo") and in_r1(2):
+        w = w[:-1]
+    # e) undouble the consonant pair opening the final consonant run:
+    # scan right-to-left to the first position whose preceding char is
+    # a NON-vowel; if that char is a consonant doubled by its
+    # predecessor, drop one
+    i = len(w)
+    while i > 0 and w[i - 1] in _FI_V1:
+        i -= 1
+    if i >= 2 and w[i - 1] not in _FI_V1 and w[i - 2] == w[i - 1]:
+        w = w[: i - 1] + w[i:]
+    return w
+
+
+STEMMERS["finnish"] = stem_fi

@@ -292,6 +292,10 @@ langStemWords.hu = ['munkánk', 'házakban', 'gyerekeknek', 'szépséges',
   'könyvtárból', 'barátaimmal', 'lehetőségeket', 'asztalon', 'emberek',
   'kertjeinkben', 'babáé', 'almákat', 'vízzel', 'kertté', 'munkástul',
   'házánként', 'emberképpen']
+langStemWords.fi = ['taloissa', 'kirjojen', 'nopeasti', 'juoksemme',
+  'kauneimmat', 'mahdollisuuksien', 'suurempi', 'pienikin', 'pöydällä',
+  'ihmisille', 'lapsillemme', 'ystäväni', 'koulussaan', 'vesien',
+  'maahan', 'tiellä', 'taloonsa', 'kirjaksi', 'taloton', 'pappaa']
 const stemLangVectors = []
 for (const [code, words] of Object.entries(langStemWords)) {
   const { stemmer: st } = await import(`/root/reference/packages/stemmers/lib/${code}.js`)
