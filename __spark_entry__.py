@@ -584,11 +584,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["vec_topk"] = vec_topk
 
-    # exact dedup (training-data pipeline op)
+    # exact dedup (training-data pipeline op). The sf documents fixture
+    # has no exact-duplicate texts, which would make this gate vacuous
+    # (0 expected rows — round-2 verdict Wrong #2); the testdata is
+    # read-only, so plant duplicates INSIDE the query: union a
+    # deterministic slice back in under shifted doc_ids. The oracle SQL
+    # plants the identical slice, so expected rows > 0 and a broken
+    # exact_duplicates would actually fail the hash compare.
     def dedup_exact(spark, sf_dir):
-        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+            "doc_id", "text"
+        )
+        planted = docs.where(F.col("doc_id") % 10 == 3).select(
+            (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+        )
         return (
-            docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+            docs.unionByName(planted)
+            .groupBy(F.md5(F.col("text")).alias("text_hash"))
             .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("keep_doc_id"))
             .where(F.col("dup_count") > 1)
         )
@@ -1066,8 +1078,13 @@ ORDER BY sim DESC, vec_id ASC
 LIMIT 10
 """
     sql["dedup_exact"] = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 3
+)
 SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS keep_doc_id
-FROM documents GROUP BY md5(text) HAVING count(*) > 1
+FROM all_docs GROUP BY md5(text) HAVING count(*) > 1
 """
     sql["token_count"] = (
         _sql_prologue()

@@ -1,27 +1,48 @@
-"""Posting-block physical layout: docid-delta + varint compressed blocks
-with per-block max-score bounds (the custom data modeling Catalyst
-doesn't provide — SURVEY §4 item 1).
+"""Posting-block physical layout: length-ordered docid reassignment +
+docid-delta varint compressed blocks with per-block max-score bounds
+(the custom data modeling Catalyst doesn't provide — SURVEY §4 item 1).
+
+Two ideas from the published inverted-index literature compose here:
+
+* **Docid reassignment** (document reordering): the block index assigns
+  its own *internal* docid = rank of the document by ascending total
+  field length. BM25 with the deduplicating-tokenizer identity
+  tf = 1/field_len is strictly decreasing in field_len, so per-block
+  max-score bounds now DECAY along the internal-docid axis instead of
+  being flat — which is what makes docid-aligned block-max pruning
+  (query/wand.py) actually eliminate blocks. Reassignment is a pure
+  permutation: original docids are stored alongside, scores and
+  tie-breaks always use the original docid, so results are
+  rank-identical with the plain path for ANY permutation.
+
+* **Delta + varint compression**: internal docids are delta+varint
+  encoded (~1-2 B/posting), field lengths varint (small ints), original
+  docids varint (the price of reordering — they are no longer sorted
+  within a block, so no delta; ~2-4 B at these scales).
 
 Block table schema (one row per <=BLOCK_SIZE postings of one term):
   field string, term string, block_id int, n int,
-  first_docid long, last_docid long,
-  docid_deltas binary (varint), field_lens binary (varint),
-  max_score double  -- BM25 upper bound for any posting in the block
-
-With the default deduplicating tokenizer tf == 1/field_len, so storing
-field_len (varint, small ints) reconstructs both tf and fl — docids and
-field lengths are the ONLY per-posting payload, classic inverted-index
-compression (delta + varint ~ 1-2 bytes/posting vs 16 in the row layout).
+  first_docid long, last_docid long,   -- INTERNAL id range (disjoint
+                                        -- per term, sorted)
+  docid_deltas binary (varint of internal deltas),
+  orig_docids binary (varint),
+  field_lens binary (varint),
+  max_score double, -- BM25 upper bound for any posting in the block
+  df long           -- denormalized per-(field,term) document frequency,
+                    -- so queries score without a dictionary join
 
 ``max_score`` uses the monotonicity of BM25 in field_len when tf=1/fl:
 score(fl) = idf*(d + (k+1)/fl) / (1/fl + k*(1-b+b*fl/avgfl)) is strictly
-decreasing in fl, so the block bound is score(min fl in block). Bounds
-are computed at build time with the final (N, avgfl, df) statistics.
+decreasing in fl, so the block bound is score(min fl in block) — an
+ACHIEVED bound (some posting in the block attains it). Bounds are
+computed at build time with the final (N, avgfl, df) statistics.
 
-Encoding runs inside mapInPandas over partitions already sorted by
-(field, term, docid) — each task streams through its slice emitting
-blocks, never materializing a per-term group (that is what makes the
-layout skew-proof: a hot term just yields many blocks across tasks).
+Encoding runs inside mapInPandas over partitions range-partitioned and
+sorted by (field, term, internal) — each task streams through its slice
+emitting blocks, never materializing a per-term group. A hot term spans
+several tasks; each emits blocks over a disjoint internal range, so
+(field, term, first_docid) is a unique block key (skew-proof: no task
+ever holds a whole hot term).
 """
 
 from __future__ import annotations
@@ -50,8 +71,10 @@ BLOCKS_SCHEMA = StructType(
         StructField("first_docid", LongType(), False),
         StructField("last_docid", LongType(), False),
         StructField("docid_deltas", BinaryType(), False),
+        StructField("orig_docids", BinaryType(), False),
         StructField("field_lens", BinaryType(), False),
         StructField("max_score", DoubleType(), False),
+        StructField("df", LongType(), False),
     ]
 )
 
@@ -108,6 +131,55 @@ def bm25_for_fl(fl: np.ndarray, df: float, n_docs: float, avgfl: float, p: BM25P
     return (idf * (p.d + tf * (p.k + 1))) / (tf + p.k * (1 - p.b + (p.b * fl) / avgfl))
 
 
+def assign_internal_ids(postings: DataFrame) -> DataFrame:
+    """(docid) -> (docid, internal): internal = 0-based rank of the doc by
+    (total field length asc, docid asc).
+
+    Distributed rank — no single-partition window: range-partition by the
+    sort key, collect the P per-partition counts (P rows, driver-tiny),
+    broadcast offsets, assign offset+arange inside each sorted partition.
+    This is the standard global-order-index pattern and survives any N.
+    """
+    from pyspark import TaskContext
+
+    doclen = (
+        postings.select("field", "docid", "field_len")
+        .dropDuplicates(["field", "docid"])
+        .groupBy("docid")
+        .agg(F.sum("field_len").alias("dl"))
+    )
+    ranked = doclen.repartitionByRange("dl", "docid").sortWithinPartitions(
+        "dl", "docid"
+    )
+    sizes = (
+        ranked.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    counts = {r["pid"]: r["count"] for r in sizes}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        start = offsets.get(pid, 0)
+        for pdf in batches:
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "docid": pdf["docid"].values,
+                    "internal": np.arange(start, start + n, dtype=np.int64),
+                }
+            )
+            start += n
+
+    return ranked.mapInPandas(assign, "docid long, internal long")
+
+
 def build_blocks(
     postings: DataFrame,
     dictionary: DataFrame,
@@ -115,15 +187,24 @@ def build_blocks(
     bm25: BM25Params,
     block_size: int = BLOCK_SIZE,
 ) -> DataFrame:
-    """postings (sorted by field,term,docid within partitions) -> blocks.
+    """postings -> compressed blocks in length-ordered internal docid space.
 
-    The df column is broadcast-joined on; the heavy stream stays in its
-    existing partitioning (narrow), each task cutting blocks at term
-    boundaries or every ``block_size`` rows.
+    Internal ids are assigned (one docmap shuffle + one postings join,
+    both build-time), the stream is range-partitioned + sorted by
+    (field, term, internal), then each task cuts blocks at term
+    boundaries or every ``block_size`` rows — narrow after the one sort,
+    skew split by internal range.
     """
     n_docs = float(stats["docs_count"])
     avgs = {f_: float(v["avg_field_length"]) for f_, v in stats["fields"].items()}
-    p = postings.join(F.broadcast(dictionary), ["field", "term"])
+    docmap = assign_internal_ids(postings)
+    p = (
+        postings.join(docmap, "docid")
+        .join(F.broadcast(dictionary), ["field", "term"])
+        .select("field", "term", "docid", "internal", "field_len", "df")
+        .repartitionByRange("field", "term", "internal")
+        .sortWithinPartitions("field", "term", "internal")
+    )
 
     params = bm25
 
@@ -131,10 +212,12 @@ def build_blocks(
         carry: pd.DataFrame | None = None
         out_rows: list[dict] = []
 
-        def flush_group(field: str, term: str, df_val: float, docids: np.ndarray, fls: np.ndarray):
+        def flush_group(field: str, term: str, df_val: float,
+                        internals: np.ndarray, origs: np.ndarray, fls: np.ndarray):
             avgfl = avgs[field]
-            for bi, s in enumerate(range(0, len(docids), block_size)):
-                d = docids[s : s + block_size]
+            for bi, s in enumerate(range(0, len(internals), block_size)):
+                d = internals[s : s + block_size]
+                o = origs[s : s + block_size]
                 f_ = fls[s : s + block_size]
                 deltas = np.diff(d, prepend=d[0]).astype(np.uint64)
                 ub = float(
@@ -149,8 +232,13 @@ def build_blocks(
                         "first_docid": int(d[0]),
                         "last_docid": int(d[-1]),
                         "docid_deltas": varint_encode(deltas),
+                        "orig_docids": varint_encode(o.astype(np.uint64)),
                         "field_lens": varint_encode(f_.astype(np.uint64)),
                         "max_score": ub,
+                        # df rides on the block row so the query path can
+                        # score without a dictionary join (it is constant
+                        # per (field, term) — denormalized metadata)
+                        "df": int(df_val),
                     }
                 )
 
@@ -171,6 +259,7 @@ def build_blocks(
                     pdf["field"].iat[s],
                     pdf["term"].iat[s],
                     float(pdf["df"].iat[s]),
+                    pdf["internal"].values[s:e].astype(np.int64),
                     pdf["docid"].values[s:e].astype(np.int64),
                     pdf["field_len"].values[s:e].astype(np.int64),
                 )
@@ -183,40 +272,42 @@ def build_blocks(
                 carry["field"].iat[0],
                 carry["term"].iat[0],
                 float(carry["df"].iat[0]),
+                carry["internal"].values.astype(np.int64),
                 carry["docid"].values.astype(np.int64),
                 carry["field_len"].values.astype(np.int64),
             )
         if out_rows:
             yield pd.DataFrame(out_rows)
 
-    return p.select("field", "term", "docid", "field_len", "df").mapInPandas(
-        encode, BLOCKS_SCHEMA
-    )
+    return p.mapInPandas(encode, BLOCKS_SCHEMA)
 
 
 def decode_blocks_to_postings(blocks_pdf: pd.DataFrame) -> pd.DataFrame:
-    """blocks rows -> exploded (field, term, docid, field_len) pandas —
-    the query-side decode kernel (runs inside an Arrow batch)."""
-    fields, terms, docids, fls = [], [], [], []
+    """blocks rows -> exploded (field, term, docid, internal, field_len)
+    pandas — the query-side decode kernel (runs inside an Arrow batch).
+    ``docid`` is the ORIGINAL id (scoring + tie-breaks); ``internal`` the
+    length-ordered id (block-range arithmetic only)."""
+    fields, terms, internals, origs, fls = [], [], [], [], []
     for r in blocks_pdf.itertuples(index=False):
         deltas = varint_decode(bytes(r.docid_deltas)).astype(np.int64)
-        d = np.cumsum(deltas)
-        d[0] = r.first_docid
         d = r.first_docid + np.concatenate(([0], np.cumsum(deltas[1:])))
+        o = varint_decode(bytes(r.orig_docids)).astype(np.int64)
         f_ = varint_decode(bytes(r.field_lens)).astype(np.int64)
         fields.append(np.full(len(d), r.field, dtype=object))
         terms.append(np.full(len(d), r.term, dtype=object))
-        docids.append(d)
+        internals.append(d)
+        origs.append(o)
         fls.append(f_)
-    if not docids:
+    if not internals:
         return pd.DataFrame(
-            {"field": [], "term": [], "docid": [], "field_len": []}
+            {"field": [], "term": [], "docid": [], "internal": [], "field_len": []}
         )
     return pd.DataFrame(
         {
             "field": np.concatenate(fields),
             "term": np.concatenate(terms),
-            "docid": np.concatenate(docids),
+            "docid": np.concatenate(origs),
+            "internal": np.concatenate(internals),
             "field_len": np.concatenate(fls),
         }
     )

@@ -1,26 +1,67 @@
 """Block-max WAND top-k over the compressed posting-block layout
 (SURVEY §4 item 2 — the custom query-side pruning Catalyst can't do).
 
-Distributed two-phase MaxScore/BM-WAND hybrid, exact w.r.t. the plain
-path (rank-identical top-k, proof sketch in ``wand_topk``):
+Distributed, exact w.r.t. the plain path (rank-identical top-k), built
+on the length-ordered internal docid space from build/blocks.py:
 
-  phase 0  seed θ: fully score the single highest-upper-bound term
-           (usually the rarest); θ = k-th best partial score. Partial
-           scores only grow, so θ lower-bounds the true k-th score.
-  phase 1  prune blocks: block b of term t survives iff
-           ub(b) + Σ_{t'≠t} global_ub(t') >= θ.
-           Candidates = docids decoded from surviving blocks only.
-  phase 2  exact scores: decode every block whose [first_docid,
-           last_docid] range intersects a candidate (range join against
-           the broadcast candidate list), restrict to candidates, full
-           BM25 sum per doc, TakeOrdered k.
+  phase 0   seed θ from the CHAMPION LISTS: at build time the top
+            CHAMPION_BLOCKS blocks per (field, term) by max_score —
+            block bounds are ACHIEVED (blocks.py), so these blocks
+            contain the top single-term postings — are decoded + scored
+            into index_dir/champions. At query time θ is the k-th best
+            PARTIAL BM25 sum over the query's champion rows. Partial
+            sums are exact non-negative contributions, so partial ≤ true
+            and k real docs attain ≥ θ: a valid lower bound of the true
+            k-th score. Length-ordering means every term's top blocks
+            hold the same shortest docs, so multi-term docs get
+            near-complete seed sums and θ is tight. The pool is bounded
+            by the QUERY (CHAMPION_BLOCKS × BLOCK_SIZE × #terms ×
+            #fields rows), not the corpus, so the unfiltered path
+            computes θ with one bounded collect (the same class as the
+            engine's top-k collects) and re-injects it as a 1-row local
+            broadcast frame; with a keep_ids filter θ stays a fully lazy
+            aggregate so the semi-join runs distributed.
+  phase 1   docid-aligned pruning: per internal docid d the score of d
+            is bounded by UB(d) = Σ_t ms_t(d), where ms_t(d) is the
+            max_score of the unique block of term t covering d (blocks
+            of one term are disjoint internal ranges). A (block, bucket)
+            cell survives iff max_{d∈clip} UB(d) ≥ θ, where clip is the
+            block's intersection with a coarse internal-range bucket.
+            Computed as a bucketed interval sweep: block METADATA (no
+            binary payload) explodes to its buckets — one tiny shuffle —
+            and each bucket runs an exact local event sweep (clipping
+            makes buckets independent — no cross-bucket state).
+            Survivor cells come back as (block key, clip range) and
+            equi-join the block payloads. No candidate-docid broadcast,
+            no nested-loop join, nothing driver-side at all.
+  phase 2   decode ONLY surviving clips (clips never overlap, so no
+            dedup shuffle), score inside the same Arrow kernel (df is
+            denormalized onto block rows — no dictionary join), exact
+            BM25 sums per original docid, drop docs below θ,
+            TakeOrdered k.
 
-Soundness: a doc d outside the candidate set has, for any term t
-containing it, score(d) <= ub(block_t(d)) + Σ_{t'≠t} global_ub(t') < θ,
-and the seed phase exhibits k docs with true score >= θ (their seed
-blocks necessarily survive pruning since their seed contribution alone
-reaches θ). Hence no pruned doc can enter the top-k, and survivors get
-exact scores in phase 2.
+Soundness: any doc d with true score ≥ θ has UB(d) ≥ score(d) ≥ θ, so
+for every term covering d, the (block, bucket) cell containing d
+survives phase 1 and d's phase-2 score is complete (= plain-path
+score). Docs with any covering cell pruned have UB(d) < θ, hence true
+score < θ; their (possibly partial, under-estimated) phase-2 scores are
+< θ and the final ≥ θ filter drops them, so they can never displace a
+true top-k doc — and ≥ k docs with true score ≥ θ exist (the phase-0
+seeds), so the filter never starves the result. The ≥ θ comparisons
+carry a 1e-12 relative epsilon to absorb float summation-order jitter
+between phase 0 and phase 2 (true-score gaps are astronomically larger
+than 1e-12 relative).
+
+Why pruning bites: build/blocks.py assigns internal docids by ascending
+document length, so per-block max scores DECAY along the internal axis
+(BM25 with tf=1/fl is strictly decreasing in fl) and UB(d) falls below
+θ outside a short low-docid prefix — classic document-reordering: the
+permutation never affects results, only how many blocks survive.
+
+Query shape: champions scan (θ, one bounded collect) → metadata scan →
+bucket shuffle → Arrow sweep → payload join → Arrow decode+score →
+docid shuffle → top-k. Every Python stage is an Arrow-batched kernel
+over numpy arrays; the only driver action is the query-bounded θ pool.
 
 Scope: exact-term queries with threshold=1 and no filters (prefix/fuzzy
 expansion makes per-token upper bounds additive across matched words and
@@ -29,38 +70,168 @@ destroys pruning power; those queries use the plain path).
 
 from __future__ import annotations
 
-import math
 import os
-from typing import Optional
+from typing import Iterator, Optional
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..build.blocks import (
-    BLOCKS_SCHEMA, build_blocks, decode_blocks_to_postings,
+    BLOCK_SIZE, bm25_for_fl, build_blocks, varint_decode,
 )
 from ..config import IndexConfig
 from ..kernel.tokenizer import Tokenizer
 
-_DECODED_SCHEMA = "field string, term string, docid long, field_len long"
+_SCORED_SCHEMA = "docid long, s double"
+_SURVIVOR_SCHEMA = (
+    "field string, term string, first_docid long, clip_start long, clip_end long"
+)
+_EPS = 1e-12  # relative float-jitter allowance on θ comparisons
+
+# champion list depth: top CHAMPION_BLOCKS blocks per (field, term) are
+# decoded + scored at BUILD time into index_dir/champions, so the θ seed
+# is a pushdown scan at query time instead of a window over all block
+# metadata (which would shuffle ~df/128 rows per term at scale). The
+# pool covers any k: θ is the k-th best partial sum over the pool —
+# always a valid lower bound; a deeper pool only tightens it.
+CHAMPION_BLOCKS = 8
+
+
+def _score_blocks_fn(avgs: dict, n_docs: float, bm25_params, clipped: bool,
+                     with_key: bool = False):
+    """Arrow kernel: block rows -> (orig docid, per-posting BM25 score).
+
+    Decode (varint internal deltas + orig docids + field lens) and score
+    in one pass; ``df`` comes off the block row (denormalized at build),
+    so no dictionary join is needed. With ``clipped`` the row carries
+    [clip_start, clip_end] internal bounds and only postings inside the
+    clip are emitted — clips from different buckets never overlap, so
+    unioning their decodes never double-counts a posting. ``with_key``
+    additionally emits (field, term) — the champion-list build shape.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                deltas = varint_decode(bytes(r.docid_deltas)).astype(np.int64)
+                internal = r.first_docid + np.concatenate(
+                    ([0], np.cumsum(deltas[1:]))
+                )
+                origs = varint_decode(bytes(r.orig_docids)).astype(np.int64)
+                fls = varint_decode(bytes(r.field_lens)).astype(np.float64)
+                if clipped:
+                    m = (internal >= r.clip_start) & (internal <= r.clip_end)
+                    origs, fls = origs[m], fls[m]
+                if len(origs) == 0:
+                    continue
+                s = bm25_for_fl(
+                    fls, float(r.df), n_docs, avgs[r.field], bm25_params
+                )
+                if with_key:
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "field": np.full(len(origs), r.field, dtype=object),
+                                "term": np.full(len(origs), r.term, dtype=object),
+                                "docid": origs,
+                                "s": s,
+                            }
+                        )
+                    )
+                else:
+                    outs.append(pd.DataFrame({"docid": origs, "s": s}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return fn
+
+
+def _sweep_fn(dmin: int, width: int):
+    """Arrow kernel: per-bucket exact interval sweep over block metadata.
+
+    Runs via repartition(bucket) + mapInPandas (cheaper than
+    groupBy().applyInPandas — no per-group plan machinery); rows for one
+    bucket always share a partition, and the kernel drains the whole
+    partition before grouping so an Arrow batch split can't bisect a
+    bucket. The cross-joined 1-row θ keeps the plan fully lazy; θ <= 0
+    means pruning is disengaged (fewer than k seed docs): every cell
+    survives with its full clip.
+
+    Clipped to the bucket, per-term intervals stay disjoint, so the
+    running sum of +max_score at each open and −max_score after each
+    close equals UB(d) exactly at every internal docid in the bucket.
+    A cell survives iff any segment it overlaps has UB ≥ θ — decided
+    with a vectorized cumulative count of qualifying segments.
+    """
+
+    def sweep_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        theta = float(pdf["theta"].iat[0])
+        bucket = int(pdf["bucket"].iat[0])
+        bstart = dmin + bucket * width
+        bend = bstart + width - 1
+        first = pdf["first_docid"].values.astype(np.int64)
+        last = pdf["last_docid"].values.astype(np.int64)
+        s = np.maximum(first, bstart)
+        e = np.minimum(last, bend)
+        if theta <= 0.0:
+            keep = np.ones(len(first), dtype=bool)
+        else:
+            thr = theta * (1.0 - _EPS)
+            ms = pdf["max_score"].values.astype(np.float64)
+            pts = np.concatenate([s, e + 1])
+            deltas = np.concatenate([ms, -ms])
+            upts, inv = np.unique(pts, return_inverse=True)
+            sums = np.zeros(len(upts))
+            np.add.at(sums, inv, deltas)
+            seg_ub = np.cumsum(sums)  # UB on [upts[i], upts[i+1])
+            good = np.concatenate(([0], np.cumsum(seg_ub >= thr)))
+            i0 = np.searchsorted(upts, s, side="right") - 1
+            i1 = np.searchsorted(upts, e, side="right") - 1
+            keep = (good[i1 + 1] - good[i0]) > 0
+        out = pdf.loc[keep, ["field", "term", "first_docid"]].copy()
+        out["clip_start"] = s[keep]
+        out["clip_end"] = e[keep]
+        return out
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        whole = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        for _, g in whole.groupby("bucket", sort=False):
+            out = sweep_one(g)
+            if len(out):
+                yield out
+
+    return fn
 
 
 class BlockIndex:
     def __init__(self, spark: SparkSession, config: IndexConfig,
-                 blocks: DataFrame, dictionary: DataFrame, stats: dict):
+                 blocks: DataFrame, dictionary: DataFrame, stats: dict,
+                 champions: Optional[DataFrame] = None,
+                 sweep_buckets: int = 256):
         self.spark = spark
         self.config = config
         self.blocks = blocks
         self.dictionary = dictionary
         self.stats = stats
+        self.champions = champions
         self.tokenizer = Tokenizer(config.tokenizer)
+        # sweep granularity: each bucket sees the block *metadata*
+        # overlapping ~1/sweep_buckets of the internal docid span; raise
+        # it on a real cluster so per-bucket metadata stays small
+        # (~blocks_per_term / sweep_buckets rows per term per bucket).
+        self.sweep_buckets = sweep_buckets
 
     # ------------------------------------------------------------ build
     @classmethod
     def build(cls, spark: SparkSession, index_dir: str, config: IndexConfig) -> "BlockIndex":
         """Materialize index_dir/blocks from postings+dictionary+stats.
-        The encode runs narrow (no shuffle): postings partitions are
-        already sorted by (field, term, docid); hot terms simply emit
-        blocks from several tasks."""
+        One build-time shuffle: the docmap join + range partition by
+        (field, term, internal) — hot terms split by internal range."""
         import json
 
         if config.tokenizer.allow_duplicates or any(
@@ -79,6 +250,33 @@ class BlockIndex:
         dictionary = spark.read.parquet(os.path.join(index_dir, "dictionary"))
         blocks = build_blocks(postings, dictionary, stats, config.bm25)
         blocks.write.mode("overwrite").parquet(os.path.join(index_dir, "blocks"))
+        # champion lists: per (field, term), the top CHAMPION_BLOCKS
+        # blocks decoded + scored now so queries seed θ from a small
+        # pushdown scan (instead of a window over ALL block metadata,
+        # which at web scale shuffles ~docfreq/128 rows per term just to
+        # pick a handful). Sorted by (field, term) so the query-time
+        # term IN-list prunes via parquet min/max.
+        blocks_df = spark.read.parquet(os.path.join(index_dir, "blocks"))
+        w = Window.partitionBy("field", "term").orderBy(
+            F.desc("max_score"), F.asc("first_docid")
+        )
+        champ_blocks = (
+            blocks_df.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= CHAMPION_BLOCKS)
+            .drop("_rk")
+        )
+        avgs = {f_: float(v["avg_field_length"]) for f_, v in stats["fields"].items()}
+        champs = champ_blocks.mapInPandas(
+            _score_blocks_fn(avgs, float(stats["docs_count"]), config.bm25,
+                             clipped=False, with_key=True),
+            "field string, term string, docid long, s double",
+        )
+        (
+            champs.repartitionByRange("field", "term")
+            .sortWithinPartitions("field", "term")
+            .write.mode("overwrite")
+            .parquet(os.path.join(index_dir, "champions"))
+        )
         return cls.load(spark, index_dir, config)
 
     @staticmethod
@@ -102,145 +300,177 @@ class BlockIndex:
         cls._check_not_stale(index_dir)
         with open(os.path.join(index_dir, "stats.json")) as f:
             stats = json.load(f)
+        champ_dir = os.path.join(index_dir, "champions")
+        champions = (
+            spark.read.parquet(champ_dir) if os.path.exists(champ_dir) else None
+        )
         return cls(
             spark,
             config,
             blocks=spark.read.parquet(os.path.join(index_dir, "blocks")),
             dictionary=spark.read.parquet(os.path.join(index_dir, "dictionary")),
             stats=stats,
+            champions=champions,
         )
 
     # ----------------------------------------------------------- search
-    def _bm25_expr(self):
-        bm = self.config.bm25
-        n_docs = float(self.stats["docs_count"])
-        avg_expr = F.lit(0.0)
-        for f_, v in self.stats["fields"].items():
-            avg_expr = F.when(
-                F.col("field") == f_, F.lit(float(v["avg_field_length"]))
-            ).otherwise(avg_expr)
-        tf = F.lit(1.0) / F.col("field_len")
-        idf = F.log(
-            F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    def _score_kernel(self, clipped: bool):
+        avgs = {
+            f_: float(v["avg_field_length"]) for f_, v in self.stats["fields"].items()
+        }
+        return _score_blocks_fn(
+            avgs, float(self.stats["docs_count"]), self.config.bm25, clipped
         )
-        return (idf * (F.lit(bm.d) + tf * F.lit(bm.k + 1.0))) / (
-            tf + F.lit(bm.k) * (F.lit(1.0 - bm.b) + F.lit(bm.b) * F.col("field_len") / avg_expr)
+
+    def _prune(self, meta: DataFrame, k: int, keep_ids: Optional[DataFrame],
+               tokens: Optional[list] = None) -> tuple[DataFrame, DataFrame]:
+        """Phases 0/1: returns (surviving (block ⨝ clip) rows, 1-row θ
+        frame). Fully lazy — zero driver actions (see module doc).
+
+        θ seed source: the build-time champion lists when present (a
+        (field, term)-sorted parquet scan with the query's term IN-list
+        pushed down — no window, no metadata shuffle); else fall back to
+        a window over ``meta`` picking the top achieved-bound blocks and
+        decoding them inline. Either pool yields partial BM25 sums
+        (exact, non-negative contributions), so the k-th best pooled sum
+        is a valid lower bound of the true k-th score for ANY k — a pool
+        shallower than 4k/BLOCK_SIZE blocks only loosens θ, never breaks
+        soundness."""
+        if self.champions is not None and tokens is not None and keep_ids is None:
+            # fast θ: the champion pool is BOUNDED BY THE QUERY, not the
+            # corpus (CHAMPION_BLOCKS × BLOCK_SIZE × #terms × #fields ≈
+            # a few thousand rows for any human query), so one bounded
+            # collect beats a groupBy→sort→limit shuffle chain; θ then
+            # rides into both phases as a 1-row local broadcast frame.
+            pool = self.champions.where(
+                F.col("term").isin(tokens)
+                & F.col("field").isin(self.config.searchable_fields)
+            ).select("docid", "s").toPandas()
+            sums = pool.groupby("docid")["s"].sum().sort_values(ascending=False)
+            theta = float(sums.iloc[k - 1]) if len(sums) >= k else 0.0
+            theta_df = F.broadcast(
+                self.spark.createDataFrame([(theta,)], "theta double")
+            )
+        elif self.champions is not None and tokens is not None:
+            seed_scored = self.champions.where(
+                F.col("term").isin(tokens)
+                & F.col("field").isin(self.config.searchable_fields)
+            ).select("docid", "s")
+            theta_df = None
+        else:
+            n_seed_blocks = max(2, -(-4 * k // BLOCK_SIZE) + 1)
+            w = Window.partitionBy("field", "term").orderBy(
+                F.desc("max_score"), F.asc("first_docid")
+            )
+            seed_blocks = (
+                meta.withColumn("_rk", F.row_number().over(w))
+                .where(F.col("_rk") <= n_seed_blocks)
+                .drop("_rk")
+            )
+            seed_scored = seed_blocks.mapInPandas(
+                self._score_kernel(clipped=False), _SCORED_SCHEMA
+            )
+            theta_df = None
+        if theta_df is None:
+            if keep_ids is not None:
+                seed_scored = seed_scored.join(keep_ids, "docid", "left_semi")
+            theta_df = F.broadcast(
+                seed_scored.groupBy("docid")
+                .agg(F.sum("s").alias("ps"))
+                .orderBy(F.desc("ps"), F.asc("docid"))
+                .limit(k)
+                .agg(
+                    F.when(F.count("*") >= k, F.min("ps"))
+                    .otherwise(F.lit(0.0))
+                    .alias("theta")
+                )
+            )
+
+        # phase 1: bucketed docid-aligned sweep over block metadata.
+        # Internal ids are a dense 0-based rank (blocks.py), so the span
+        # comes from stats — no extra job.
+        dmin, dmax = 0, max(0, int(self.stats["docs_count"]) - 1)
+        width = max(1, -(-(dmax - dmin + 1) // self.sweep_buckets))
+        bucket_of = lambda c: F.floor((c - F.lit(dmin)) / F.lit(width)).cast("long")
+        sweep_parts = max(
+            1, min(self.sweep_buckets, self.spark.sparkContext.defaultParallelism)
         )
+        exploded = (
+            meta.select(
+                "field", "term", "first_docid", "last_docid", "max_score",
+                F.explode(
+                    F.sequence(
+                        bucket_of(F.col("first_docid")),
+                        bucket_of(F.col("last_docid")),
+                    )
+                ).alias("bucket"),
+            )
+            .crossJoin(theta_df)
+            .repartition(sweep_parts, "bucket")
+        )
+        survivors = exploded.mapInPandas(_sweep_fn(dmin, width), _SURVIVOR_SCHEMA)
+        # inner join (not semi): a block surviving in several buckets
+        # contributes one row per clip; clips never overlap, so phase 2
+        # decodes each posting at most once — no dedup shuffle needed.
+        kept = meta.join(survivors, ["field", "term", "first_docid"])
+        return kept, theta_df
 
     def wand_topk(self, term: str, k: int = 10,
                   keep_ids: Optional[DataFrame] = None) -> DataFrame:
-        """Exact-term BM25 top-k via block-max pruning. Returns
-        (docid, score) rank-identical with the plain engine path.
+        """Exact-term BM25 top-k via docid-aligned block-max pruning.
+        Returns (docid, score) rank-identical with the plain engine path
+        (original docids; ties broken by docid asc, like the plain sort).
+        The whole query is ONE lazy plan — no driver-side action happens
+        until the caller collects.
 
         ``keep_ids`` (one column ``docid``): a pre-computed doc filter
         (where-clause mask or the exact-mode case-sensitive post-filter,
-        search-fulltext.ts:88-115). It is applied to the seed scoring —
-        so θ lower-bounds the k-th FILTERED score — and to phase 2; the
-        pruning proof is unchanged since filtering only removes docs."""
+        search-fulltext.ts:88-115). It is applied to the seed candidates
+        — so θ lower-bounds the k-th FILTERED score — and to phase 2;
+        the pruning proof is unchanged since filtering only removes
+        docs."""
         tokens = self.tokenizer.tokenize(term)
         if not tokens:
             return self.spark.createDataFrame([], "docid long, score double")
         fields = self.config.searchable_fields
         meta = self.blocks.where(
             F.col("term").isin(tokens) & F.col("field").isin(fields)
-        ).persist()
-
-        # global per-(field, term) upper bounds (tiny collect)
-        ubs = {
-            (r["field"], r["term"]): r["ub"]
-            for r in meta.groupBy("field", "term").agg(F.max("max_score").alias("ub")).collect()
-        }
-        if not ubs:
-            meta.unpersist()
-            return self.spark.createDataFrame([], "docid long, score double")
-        total_ub = sum(ubs.values())
-
-        # phase 0: seed with the highest-ub (field, term)
-        seed_f, seed_t = max(ubs, key=ubs.get)
-        dfq = F.broadcast(self.dictionary.where(F.col("term").isin(tokens)))
-        seed_posts = meta.where(
-            (F.col("field") == seed_f) & (F.col("term") == seed_t)
-        ).mapInPandas(lambda it: map(decode_blocks_to_postings, it), _DECODED_SCHEMA)
-        if keep_ids is not None:
-            seed_posts = seed_posts.join(keep_ids, "docid", "left_semi")
-        seed_posts = seed_posts.join(dfq, ["field", "term"]).select(
-            "docid", self._bm25_expr().alias("s")
-        )
-        seed_top = seed_posts.orderBy(F.desc("s")).limit(k).collect()
-        theta = seed_top[-1]["s"] if len(seed_top) >= k else 0.0
-
-        # phase 1: surviving blocks and their candidate docids
-        others_ub = F.lit(total_ub) - F.coalesce(
-            *[
-                F.when((F.col("field") == f_) & (F.col("term") == t_), F.lit(u))
-                for (f_, t_), u in ubs.items()
-            ]
-        )
-        kept = meta.where(F.col("max_score") + others_ub >= F.lit(theta))
-        candidates = (
-            kept.mapInPandas(lambda it: map(decode_blocks_to_postings, it), _DECODED_SCHEMA)
-            .select("docid")
-            .distinct()
         )
 
-        # phase 2: decode blocks overlapping any candidate, exact scores
-        cand = F.broadcast(candidates)
-        overlapping = (
-            meta.alias("b")
-            .join(
-                cand.alias("c"),
-                (F.col("c.docid") >= F.col("b.first_docid"))
-                & (F.col("c.docid") <= F.col("b.last_docid")),
-                "left_semi",
-            )
-        )
-        scored = (
-            overlapping.mapInPandas(lambda it: map(decode_blocks_to_postings, it), _DECODED_SCHEMA)
-            .join(cand, "docid", "left_semi")
-        )
+        kept, theta_df = self._prune(meta, k, keep_ids, tokens)
+
+        # phase 2: decode + score surviving clips only
+        scored = kept.mapInPandas(self._score_kernel(clipped=True), _SCORED_SCHEMA)
         if keep_ids is not None:
             scored = scored.join(keep_ids, "docid", "left_semi")
         scored = (
-            scored.join(dfq, ["field", "term"])
-            .select("docid", self._bm25_expr().alias("s"))
-            .groupBy("docid")
+            scored.groupBy("docid")
             .agg(F.sum("s").alias("score"))
-            .orderBy(F.desc("score"), F.asc("docid"))
-            .limit(k)
+            .crossJoin(theta_df)
+            .where(
+                (F.col("theta") <= 0.0)
+                | (F.col("score") >= F.col("theta") * (1.0 - _EPS))
+            )
+            .select("docid", "score")
         )
-        out = scored
-        meta.unpersist()
-        return out
+        return scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
 
     def pruning_stats(self, term: str, k: int = 10) -> dict:
-        """Diagnostics: how many blocks the θ bound eliminates."""
+        """Diagnostics: how many blocks the docid-aligned sweep keeps."""
         tokens = self.tokenizer.tokenize(term)
-        meta = self.blocks.where(F.col("term").isin(tokens))
+        if not tokens:
+            return {"blocks_total": 0, "blocks_kept": 0, "theta": 0.0}
+        fields = self.config.searchable_fields
+        meta = self.blocks.where(
+            F.col("term").isin(tokens) & F.col("field").isin(fields)
+        ).persist()
         total = meta.count()
-        ubs = {
-            (r["field"], r["term"]): r["ub"]
-            for r in meta.groupBy("field", "term").agg(F.max("max_score").alias("ub")).collect()
-        }
-        if not ubs:
-            return {"blocks_total": 0, "blocks_kept": 0}
-        total_ub = sum(ubs.values())
-        seed_f, seed_t = max(ubs, key=ubs.get)
-        dfq = F.broadcast(self.dictionary.where(F.col("term").isin(tokens)))
-        seed_top = (
-            meta.where((F.col("field") == seed_f) & (F.col("term") == seed_t))
-            .mapInPandas(lambda it: map(decode_blocks_to_postings, it), _DECODED_SCHEMA)
-            .join(dfq, ["field", "term"])
-            .select("docid", self._bm25_expr().alias("s"))
-            .orderBy(F.desc("s"))
-            .limit(k)
-            .collect()
+        kept, theta_df = self._prune(meta, k, None, tokens)
+        theta = theta_df.collect()[0]["theta"]
+        kept_n = (
+            kept.select("field", "term", "first_docid")
+            .dropDuplicates(["field", "term", "first_docid"])
+            .count()
         )
-        theta = seed_top[-1]["s"] if len(seed_top) >= k else 0.0
-        others_ub = F.lit(total_ub) - F.coalesce(
-            *[
-                F.when((F.col("field") == f_) & (F.col("term") == t_), F.lit(u))
-                for (f_, t_), u in ubs.items()
-            ]
-        )
-        kept = meta.where(F.col("max_score") + others_ub >= F.lit(theta)).count()
-        return {"blocks_total": total, "blocks_kept": kept, "theta": theta}
+        meta.unpersist()
+        return {"blocks_total": total, "blocks_kept": kept_n, "theta": float(theta)}
