@@ -23,6 +23,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "50000"))
+# this VM's vCPU steal makes identical deterministic runs vary up to 3x
+# (measured — see BENCH/BASELINE.md); every query is timed REPS times and
+# the MIN recorded, the standard noise-floor protocol bench/scaling.py
+# already uses. Builds stay single-rep: they are one-shot by nature and
+# dominate wall time.
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def timed_min(fn) -> float:
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
 
 
 def main() -> None:
@@ -50,7 +65,8 @@ def main() -> None:
     from orama_spark.sources.webpages import corpus_df
 
     timings: dict[str, float] = {}
-    extras: dict = {"cpus": CPUS, "synth_docs": SYNTH_DOCS}
+    extras: dict = {"cpus": CPUS, "synth_docs": SYNTH_DOCS, "reps": REPS,
+                    "n_driver_queries": len(entry_mod.queries())}
 
     # --- index build over the sf documents table (fresh, no resume)
     entry_idx_dir = os.path.join(
@@ -109,9 +125,7 @@ def main() -> None:
         fn()
         timings[aux] = round(time.time() - t0, 3)
     for name, fn in queries.items():
-        t0 = time.time()
-        fn(spark, SF_DIR).collect()
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = timed_min(lambda: fn(spark, SF_DIR).collect())
         print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     # --- web-profile query latency on the synthetic index
@@ -125,9 +139,7 @@ def main() -> None:
         "web_q_fuzzy": dict(term="serch", tolerance=1),
     }
     for name, kw in web_queries.items():
-        t0 = time.time()
-        widx.search(**kw).top_df().collect()
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = timed_min(lambda: widx.search(**kw).top_df().collect())
 
     # --- compressed posting blocks + block-max WAND (the scale path)
     from pyspark.sql import functions as F
@@ -137,9 +149,10 @@ def main() -> None:
     t0 = time.time()
     bidx = BlockIndex.build(spark, web_dir, web_cfg)
     timings["blocks_build"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    bidx.wand_topk("search engine index", k=10).collect()
-    timings["web_q_wand"] = round(time.time() - t0, 3)
+    timings["web_q_wand"] = timed_min(
+        lambda: bidx.wand_topk("search engine index", k=10).collect()
+    )
+    extras["wand_pruning"] = bidx.pruning_stats("search engine index", k=10)
     bstats = bidx.blocks.agg(
         F.sum("n").alias("postings"),
         (F.sum(F.length("docid_deltas")) + F.sum(F.length("field_lens"))).alias("bytes"),

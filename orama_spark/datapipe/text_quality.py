@@ -1,6 +1,9 @@
 """Text-analysis operators: token counts, quality scoring, language ID,
-document fingerprinting (winnowing). All pure Column expressions —
-whole-stage-codegen JVM math, no UDFs — so they pipeline into any scan.
+document fingerprinting (winnowing). Cheap stats are pure Column
+expressions (whole-stage-codegen JVM math) that pipeline into any scan;
+the per-character counting, language-marker matching, and winnowing
+hashes run in two Arrow-batched pandas kernels (one pass over `text`
+each) — the map-only shape is preserved either way.
 """
 
 from __future__ import annotations

@@ -1893,3 +1893,9 @@ def stem_fi(word: str) -> str:
 
 
 STEMMERS["finnish"] = stem_fi
+
+
+# Non-Snowball light stemmers (bg/sk/uk) and the second Snowball batch
+# register themselves into STEMMERS on import; importing here keeps
+# `from .snowball import STEMMERS` the single registry entry point.
+from . import light_stemmers as _light  # noqa: E402,F401  (registers bg/sk/uk)

@@ -92,14 +92,23 @@ _EPS = 1e-12  # relative float-jitter allowance on θ comparisons
 # champion list depth: top CHAMPION_BLOCKS blocks per (field, term) are
 # decoded + scored at BUILD time into index_dir/champions, so the θ seed
 # is a pushdown scan at query time instead of a window over all block
-# metadata (which would shuffle ~df/128 rows per term at scale). The
-# pool covers any k: θ is the k-th best partial sum over the pool —
-# always a valid lower bound; a deeper pool only tightens it.
+# metadata (which would shuffle ~df/128 rows per term at scale). Each
+# champion block keeps only its top CHAMPION_POSTINGS_PER_BLOCK postings
+# by score, bounding the champions table to ~vocab × 8 × 64 rows —
+# independent of corpus size. The pool covers any k: θ is the k-th best
+# partial sum over the pool — always a valid lower bound; ANY subset of
+# postings yields valid (exact, partial) sums, so truncation only
+# loosens θ, never breaks soundness.
 CHAMPION_BLOCKS = 8
+# per-block truncation knob: 128 (= BLOCK_SIZE) keeps whole champion
+# blocks — measured θ on the 50k corpus tightens 3.66 → 4.48 vs
+# truncating to 64, which halves pruning power; lower it only if the
+# champions table (≤ vocab × CHAMPION_BLOCKS × this) needs shrinking.
+CHAMPION_POSTINGS_PER_BLOCK = 128
 
 
 def _score_blocks_fn(avgs: dict, n_docs: float, bm25_params, clipped: bool,
-                     with_key: bool = False):
+                     with_key: bool = False, top_n: Optional[int] = None):
     """Arrow kernel: block rows -> (orig docid, per-posting BM25 score).
 
     Decode (varint internal deltas + orig docids + field lens) and score
@@ -129,6 +138,9 @@ def _score_blocks_fn(avgs: dict, n_docs: float, bm25_params, clipped: bool,
                 s = bm25_for_fl(
                     fls, float(r.df), n_docs, avgs[r.field], bm25_params
                 )
+                if top_n is not None and len(s) > top_n:
+                    sel = np.argpartition(-s, top_n)[:top_n]
+                    origs, s = origs[sel], s[sel]
                 if with_key:
                     outs.append(
                         pd.DataFrame(
@@ -257,18 +269,25 @@ class BlockIndex:
         # pick a handful). Sorted by (field, term) so the query-time
         # term IN-list prunes via parquet min/max.
         blocks_df = spark.read.parquet(os.path.join(index_dir, "blocks"))
+        # champion block KEYS from metadata only — the binary payloads
+        # never enter the window shuffle; the tiny key frame then
+        # equi-joins the payload scan (on a bucketed/blocked layout this
+        # join is co-located; here AQE picks the strategy).
         w = Window.partitionBy("field", "term").orderBy(
             F.desc("max_score"), F.asc("first_docid")
         )
-        champ_blocks = (
-            blocks_df.withColumn("_rk", F.row_number().over(w))
+        keys = (
+            blocks_df.select("field", "term", "first_docid", "max_score")
+            .withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= CHAMPION_BLOCKS)
-            .drop("_rk")
+            .select("field", "term", "first_docid")
         )
+        champ_blocks = blocks_df.join(keys, ["field", "term", "first_docid"])
         avgs = {f_: float(v["avg_field_length"]) for f_, v in stats["fields"].items()}
         champs = champ_blocks.mapInPandas(
             _score_blocks_fn(avgs, float(stats["docs_count"]), config.bm25,
-                             clipped=False, with_key=True),
+                             clipped=False, with_key=True,
+                             top_n=CHAMPION_POSTINGS_PER_BLOCK),
             "field string, term string, docid long, s double",
         )
         (
