@@ -10,11 +10,15 @@ differential-fuzzed against the reference's JS (tools/fuzz_stemmers.py)
 — including the reference's own bugs, which are load-bearing for
 ranking parity:
 
-QUIRK (bg): the JS port writes ``s[i] = 'н'`` on a *string* — a silent
-no-op in JavaScript (strings are immutable; Lucene's Java original used
-a char[]). The reference therefore never performs the letter
-substitutions (ен→н, ъN→N, ци→к, зи→г, си→х, еXи→яX, еве→йе), only the
-length truncations. We replicate truncation-only behavior exactly.
+QUIRK (bg, researched): the JS port writes ``s[i] = 'н'`` on a *string*
+— in an ES module (strict mode) that THROWS TypeError, so the
+reference's Bulgarian stemmer CRASHES the tokenizer on any word hitting
+a letter-substitution branch (ен→н, ъN→N, ци→к, зи→г, си→х, еXи→яX,
+еве→йN; ``tokenizer/index.ts:36`` has no try/catch). There is no
+reference output to match on those words, so we implement the
+upstream-correct Lucene behavior (substitutions applied to a char
+list); on every word the reference does NOT crash on, we match it
+exactly (differential fuzz, tools/fuzz_stemmers.py).
 """
 
 from __future__ import annotations
@@ -39,67 +43,75 @@ def stem_sk(word: str) -> str:
 
 
 # -------------------------------------------------------------- Bulgarian
-def _bg_ends(w: str, ln: int, suf: str) -> bool:
-    return ln >= len(suf) and w[ln - len(suf):ln] == suf
+def _bg_ends(s: list, ln: int, suf: str) -> bool:
+    return ln >= len(suf) and "".join(s[ln - len(suf):ln]) == suf
 
 
-def _bg_remove_article(w: str, ln: int) -> int:
-    if ln > 6 and _bg_ends(w, ln, "ият"):
+def _bg_remove_article(s: list, ln: int) -> int:
+    if ln > 6 and _bg_ends(s, ln, "ият"):
         return ln - 3
     if ln > 5 and any(
-        _bg_ends(w, ln, s) for s in ("ът", "то", "те", "та", "ия")
+        _bg_ends(s, ln, x) for x in ("ът", "то", "те", "та", "ия")
     ):
         return ln - 2
-    if ln > 4 and _bg_ends(w, ln, "ят"):
+    if ln > 4 and _bg_ends(s, ln, "ят"):
         return ln - 2
     return ln
 
 
-def _bg_remove_plural(w: str, ln: int) -> int:
+def _bg_remove_plural(s: list, ln: int) -> int:
     if ln > 6:
-        if _bg_ends(w, ln, "овци"):
+        if _bg_ends(s, ln, "овци"):
             return ln - 3
-        if _bg_ends(w, ln, "ове"):
+        if _bg_ends(s, ln, "ове"):
             return ln - 3
-        if _bg_ends(w, ln, "еве"):
-            return ln - 2  # 'й' substitution is a JS no-op (see QUIRK)
-    if ln > 5:
-        if _bg_ends(w, ln, "ища"):
-            return ln - 3
-        if _bg_ends(w, ln, "та"):
+        if _bg_ends(s, ln, "еве"):
+            s[ln - 3] = "й"  # reference crashes here (see QUIRK)
             return ln - 2
-        if _bg_ends(w, ln, "ци"):
-            return ln - 1  # 'к' substitution no-op
-        if _bg_ends(w, ln, "зи"):
-            return ln - 1  # 'г' substitution no-op
-        if w[ln - 3] == "е" and w[ln - 1] == "и":
-            return ln - 1  # 'я' substitution no-op
+    if ln > 5:
+        if _bg_ends(s, ln, "ища"):
+            return ln - 3
+        if _bg_ends(s, ln, "та"):
+            return ln - 2
+        if _bg_ends(s, ln, "ци"):
+            s[ln - 2] = "к"
+            return ln - 1
+        if _bg_ends(s, ln, "зи"):
+            s[ln - 2] = "г"
+            return ln - 1
+        if s[ln - 3] == "е" and s[ln - 1] == "и":
+            s[ln - 3] = "я"
+            return ln - 1
     if ln > 4:
-        if _bg_ends(w, ln, "си"):
-            return ln - 1  # 'х' substitution no-op
-        if _bg_ends(w, ln, "и"):
+        if _bg_ends(s, ln, "си"):
+            s[ln - 2] = "х"
+            return ln - 1
+        if _bg_ends(s, ln, "и"):
             return ln - 1
     return ln
 
 
 def stem_bg(word: str) -> str:
-    ln = len(word)
+    s = list(word)
+    ln = len(s)
     if ln < 4:
         return word
-    if ln > 5 and _bg_ends(word, ln, "ища"):
+    if ln > 5 and _bg_ends(s, ln, "ища"):
         return word[: ln - 3]
-    ln = _bg_remove_article(word, ln)
-    ln = _bg_remove_plural(word, ln)
+    ln = _bg_remove_article(s, ln)
+    ln = _bg_remove_plural(s, ln)
     if ln > 3:
-        if _bg_ends(word, ln, "я"):
+        if _bg_ends(s, ln, "я"):
             ln -= 1
-        if any(_bg_ends(word, ln, s) for s in ("а", "о", "е")):
+        if any(_bg_ends(s, ln, x) for x in ("а", "о", "е")):
             ln -= 1
-    if ln > 4 and _bg_ends(word, ln, "ен"):
-        ln -= 1  # 'н' substitution no-op
-    if ln > 5 and word[ln - 2] == "ъ":
-        ln -= 1  # ъN→N substitution no-op
-    return word[:ln]
+    if ln > 4 and _bg_ends(s, ln, "ен"):
+        s[ln - 2] = "н"
+        ln -= 1
+    if ln > 5 and s[ln - 2] == "ъ":
+        s[ln - 2] = s[ln - 1]
+        ln -= 1
+    return "".join(s[:ln])
 
 
 # -------------------------------------------------------------- Ukrainian
@@ -172,3 +184,10 @@ def stem_uk(word: str) -> str:
 STEMMERS["bulgarian"] = stem_bg
 STEMMERS["sanskrit"] = stem_sk
 STEMMERS["ukrainian"] = stem_uk
+
+
+# Reference quirk (languages.ts:25): `slovenian: 'ru'` — Slovenian is
+# wired to the RUSSIAN stemmer. Replicated verbatim: a Latin-script
+# Slovenian word passes through the Cyrillic-suffix rules untouched,
+# exactly as in the reference.
+STEMMERS["slovenian"] = STEMMERS["russian"]

@@ -1899,3 +1899,5 @@ STEMMERS["finnish"] = stem_fi
 # register themselves into STEMMERS on import; importing here keeps
 # `from .snowball import STEMMERS` the single registry entry point.
 from . import light_stemmers as _light  # noqa: E402,F401  (registers bg/sk/uk)
+from . import snowball_indic as _indic  # noqa: E402,F401  (registers hindi/nepali/tamil)
+from . import snowball_misc as _misc  # noqa: E402,F401  (registers id/ie/lt/am)

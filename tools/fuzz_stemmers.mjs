@@ -11,5 +11,16 @@ import { readFileSync } from 'node:fs'
 
 const [lang, wordsFile] = process.argv.slice(2)
 const { stemmer } = await import(`/root/reference/packages/stemmers/lib/${lang}.js`)
+// Per-word try/catch: the reference's bg.js THROWS on words hitting its
+// letter-substitution branches (strict-mode assignment to a string
+// index — the Lucene original mutated a char[]). A throw maps to null
+// so the Python side can score those words separately.
 const words = readFileSync(wordsFile, 'utf8').split('\n').filter((w) => w.length)
-process.stdout.write(JSON.stringify(words.map((w) => stemmer(w))))
+const out = words.map((w) => {
+  try {
+    return stemmer(w)
+  } catch {
+    return null
+  }
+})
+process.stdout.write(JSON.stringify(out))

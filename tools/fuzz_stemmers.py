@@ -194,13 +194,22 @@ def fuzz(lang: str, n: int = 6000) -> int:
     expected = json.loads(out)
     st = STEMMERS[lang]
     bad = 0
+    threw = 0
     for w, exp in zip(words, expected):
+        if exp is None:
+            # the reference stemmer THREW on this word (known: bg's
+            # strict-mode string-mutation bug) — no output to match;
+            # just require ours not to crash.
+            st(w)
+            threw += 1
+            continue
         got = st(w)
         if got != exp:
             bad += 1
             if bad <= 10:
                 print(f"  MISMATCH {lang}: {w!r} -> ref {exp!r}, ours {got!r}")
-    print(f"{lang}: {len(words)} words, {bad} mismatches")
+    extra = f" ({threw} ref-throws skipped)" if threw else ""
+    print(f"{lang}: {len(words)} words, {bad} mismatches{extra}")
     return bad
 
 
