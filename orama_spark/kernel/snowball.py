@@ -1902,3 +1902,4 @@ from . import light_stemmers as _light  # noqa: E402,F401  (registers bg/sk/uk)
 from . import snowball_indic as _indic  # noqa: E402,F401  (registers hindi/nepali/tamil)
 from . import snowball_misc as _misc  # noqa: E402,F401  (registers id/ie/lt/am)
 from . import snowball_tr as _tr  # noqa: E402,F401  (registers turkish)
+from . import snowball_ar as _ar  # noqa: E402,F401  (registers arabic)
