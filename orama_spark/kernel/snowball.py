@@ -1903,3 +1903,4 @@ from . import snowball_indic as _indic  # noqa: E402,F401  (registers hindi/nepa
 from . import snowball_misc as _misc  # noqa: E402,F401  (registers id/ie/lt/am)
 from . import snowball_tr as _tr  # noqa: E402,F401  (registers turkish)
 from . import snowball_ar as _ar  # noqa: E402,F401  (registers arabic)
+from . import snowball_gr as _gr  # noqa: E402,F401  (registers greek)
