@@ -1904,3 +1904,4 @@ from . import snowball_misc as _misc  # noqa: E402,F401  (registers id/ie/lt/am)
 from . import snowball_tr as _tr  # noqa: E402,F401  (registers turkish)
 from . import snowball_ar as _ar  # noqa: E402,F401  (registers arabic)
 from . import snowball_gr as _gr  # noqa: E402,F401  (registers greek)
+from . import snowball_ta as _ta  # noqa: E402,F401  (registers tamil)
