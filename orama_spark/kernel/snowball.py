@@ -1905,3 +1905,4 @@ from . import snowball_tr as _tr  # noqa: E402,F401  (registers turkish)
 from . import snowball_ar as _ar  # noqa: E402,F401  (registers arabic)
 from . import snowball_gr as _gr  # noqa: E402,F401  (registers greek)
 from . import snowball_ta as _ta  # noqa: E402,F401  (registers tamil)
+from . import snowball_rs as _rs  # noqa: E402,F401  (registers serbian)

@@ -99,9 +99,13 @@ class TokenizerConfig:
     @staticmethod
     def full_for(language: str) -> "TokenizerConfig":
         """Full profile for any supported language: that language's
-        stopword list (@orama/stopwords) + its stemmer when one ships
-        (en Porter, de/fr/es/it Snowball; other languages run
-        stopwords-only, as the reference does without a stemmer import)."""
+        stopword list (@orama/stopwords) + its stemmer. All 28 of the
+        reference's stemmers ship (en Porter + 27 in kernel.snowball*,
+        each differential-fuzzed against the reference's compiled JS),
+        plus the reference's slovenian->russian aliasing quirk. The only
+        stopwords-only language is czech: the reference maps it to a
+        stemmer file that does not exist (languages.ts 'cz'), so no
+        reference behavior exists to match."""
         from .snowball import STEMMERS as _SNOWBALL
         from .stopwords_multi import STOPWORDS as _SW
 
@@ -133,9 +137,11 @@ class Tokenizer:
 
                 self._stem = _SNOWBALL.get(self.config.language)
                 if self._stem is None:
-                    # the reference requires an explicit stemmer import
-                    # per language (@orama/stemmers); we ship en/de/fr/
-                    # es/it and refuse silently-unstemmed indexes
+                    # all 28 reference stemmers ship; this fires only
+                    # for czech, whose stemmer file does not exist in
+                    # the reference either (languages.ts maps 'cz' to
+                    # a missing module) — refuse rather than silently
+                    # index unstemmed
                     raise ValueError(
                         f"STEMMER_NOT_SUPPORTED: {self.config.language}"
                     )
