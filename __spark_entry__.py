@@ -267,6 +267,87 @@ def _get_tags_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     return idx
 
 
+# Turkish full-profile index (stopwords + the Snowball Turkish stemmer,
+# kernel/snowball_tr.py — differential-fuzzed vs the reference's
+# compiled tr.js). The corpus is synthesized deterministically from
+# doc_id over a fixed 12-form vocabulary so the DuckDB oracle can carry
+# the golden (form -> folded stem) map inline — the same
+# reference-derived-data pattern as the FNV constants.
+_TR_FORMS = ["kitaplarımız", "arabalar", "evlerinde", "gözlükçü",
+             "çalışıyorlar", "öğretmenler", "bilgisayarların",
+             "şehirlerden", "denizcilik", "yazılımcılar", "kapılarını",
+             "ağaçlardan"]
+TR_CONFIG = IndexConfig(
+    schema={"text": "string"},
+    tokenizer=TokenizerConfig.full_for("turkish"),
+    docid_col="docid",
+)
+_TR_CACHE: dict[str, SearchIndex] = {}
+
+
+def _tr_corpus(spark: SparkSession, sf_dir: str):
+    arr = F.array(*[F.lit(w) for w in _TR_FORMS])
+
+    def word(off: int):
+        return F.element_at(
+            arr, ((F.col("doc_id") * 7 + off) % 12 + 1).cast("int")
+        )
+
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(
+            F.col("doc_id").alias("docid"),
+            F.concat_ws(" ", word(0), word(3), word(6)).alias("text"),
+        )
+    )
+
+
+def _get_tr_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    idx = _TR_CACHE.get(sf_dir)
+    if idx is not None:
+        return idx
+    out = os.path.join(
+        "/dev/shm/orama_spark_entry_tridx", os.path.basename(os.path.normpath(sf_dir))
+    )
+    IndexBuilder(TR_CONFIG).build(_tr_corpus(spark, sf_dir), out, input_id=sf_dir)
+    idx = SearchIndex.load(spark, out, TR_CONFIG)
+    _TR_CACHE[sf_dir] = idx
+    return idx
+
+
+# string[] + incremental remove: 1-element tags (array(lang)) so the
+# removal recurrence telescopes exactly (the reference's >=2-element
+# NaN-poisoning quirk is pinned in test_maintenance instead) and the
+# remaining index equals from-scratch semantics for the SQL oracle.
+_TAGS_RM_CACHE: dict[str, SearchIndex] = {}
+
+
+def _get_tags_removed_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    idx = _TAGS_RM_CACHE.get(sf_dir)
+    if idx is not None:
+        return idx
+    from orama_spark.build.maintenance import remove_documents
+
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(F.col("doc_id").alias("docid"), F.array(F.col("lang")).alias("tags"))
+    )
+    out = os.path.join(
+        "/dev/shm/orama_spark_entry_tagsrm",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(out, "tombstones")
+    if not os.path.exists(marker):
+        IndexBuilder(TAGS_CONFIG).build(df, out, input_id=sf_dir)
+        remove_documents(
+            spark, out, TAGS_CONFIG,
+            df.where(F.col("docid") % 9 == 2).select("docid"),
+        )
+    idx = SearchIndex.load(spark, out, TAGS_CONFIG)
+    _TAGS_RM_CACHE[sf_dir] = idx
+    return idx
+
+
 def _get_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     idx = _INDEX_CACHE.get(sf_dir)
     if idx is not None:
@@ -565,6 +646,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sr = idx.search(term="en src3", limit=10)
         return sr.top_df().select("docid", _r())
     q["flt_string_array"] = string_array_search
+
+    # Turkish full profile: stopwords + Snowball stemmer over the
+    # deterministic 12-form corpus (kernel/snowball_tr.py)
+    def flt_lang_tr(spark, sf_dir):
+        idx = _get_tr_index(spark, sf_dir)
+        sr = idx.search(term="kitaplarımız şehirlerden", limit=10)
+        return sr.top_df().select("docid", _r())
+    q["flt_lang_tr"] = flt_lang_tr
+
+    # string[] incremental maintenance: tombstone/delta-adjusted search
+    # over 1-element tag arrays (per-element remove semantics,
+    # index.ts:383-405; >=2-element NaN quirk pinned in pytest)
+    def string_array_after_remove(spark, sf_dir):
+        idx = _get_tags_removed_index(spark, sf_dir)
+        sr = idx.search(term="en fr", limit=10)
+        return sr.top_df().select("docid", _r())
+    q["flt_string_array_after_remove"] = string_array_after_remove
 
     # vector search: brute-force cosine top-k baseline (SURVEY §2.9)
     def vec_topk(spark, sf_dir):
@@ -1065,6 +1163,68 @@ scored AS (
   JOIN documents s ON s.doc_id = m.doc_id
   CROSS JOIN n
   GROUP BY m.doc_id
+)
+SELECT docid, round(score, 6) AS score
+FROM scored ORDER BY scored.score DESC, docid ASC LIMIT 10
+"""
+
+    # Turkish: corpus synthesized from doc_id over 12 fixed forms; the
+    # (form -> stem) map is reference-golden data (fuzz-verified), with
+    # the post-stem diacritics fold applied. fl = 3, avg = 3 for every
+    # doc, tf = 1/3.
+    sql["flt_lang_tr"] = """
+WITH stems(i, stem) AS (
+  SELECT * FROM (VALUES
+    (0, 'kitap'), (1, 'araba'), (2, 'ev'), (3, 'gozlukcu'),
+    (4, 'calisiyor'), (5, 'ogretmen'), (6, 'bilgisayar'), (7, 'sehir'),
+    (8, 'denizcilik'), (9, 'yazilimci'), (10, 'kapi'), (11, 'agac')
+  ) v(i, s)
+),
+tok AS (
+  SELECT d.doc_id AS docid, f.stem AS term
+  FROM documents d
+  JOIN stems f ON f.i IN ((d.doc_id*7)%12, (d.doc_id*7+3)%12,
+                          (d.doc_id*7+6)%12)
+),
+dfreq AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+qt(qtoken) AS (SELECT * FROM (VALUES ('kitap'), ('sehir')) v(q)),
+m AS (
+  SELECT DISTINCT tok.docid, tok.term
+  FROM tok JOIN qt ON tok.term LIKE qt.qtoken || '%'
+),
+scored AS (
+  SELECT m.docid,
+         sum( ln(1 + (n.n - f.df + 0.5) / (f.df + 0.5))
+              * (0.5 + (1.0/3.0) * 2.2)
+              / ((1.0/3.0) + 1.2 * (1 - 0.75 + 0.75 * 3.0 / 3.0)) ) AS score
+  FROM m JOIN dfreq f ON f.term = m.term CROSS JOIN n
+  GROUP BY m.docid
+)
+SELECT docid, round(score, 6) AS score
+FROM scored ORDER BY scored.score DESC, docid ASC LIMIT 10
+"""
+
+    # string[] after incremental remove: single-element arrays make the
+    # tombstone/delta-adjusted index equal from-scratch semantics over
+    # the remaining docs (fl = 1, avg = 1, tf = 1)
+    sql["flt_string_array_after_remove"] = """
+WITH live AS (SELECT * FROM documents WHERE doc_id % 9 <> 2),
+tok AS (SELECT doc_id AS docid, lang AS term FROM live),
+dfreq AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+n AS (SELECT count(*) AS n FROM live),
+qt(qtoken) AS (SELECT * FROM (VALUES ('en'), ('fr')) v(q)),
+m AS (
+  SELECT DISTINCT tok.docid, tok.term
+  FROM tok JOIN qt ON tok.term LIKE qt.qtoken || '%'
+),
+scored AS (
+  SELECT m.docid,
+         sum( ln(1 + (n.n - f.df + 0.5) / (f.df + 0.5))
+              * (0.5 + 1.0 * 2.2)
+              / (1.0 + 1.2 * (1 - 0.75 + 0.75 * 1.0 / 1.0)) ) AS score
+  FROM m JOIN dfreq f ON f.term = m.term CROSS JOIN n
+  GROUP BY m.docid
 )
 SELECT docid, round(score, 6) AS score
 FROM scored ORDER BY scored.score DESC, docid ASC LIMIT 10

@@ -120,6 +120,8 @@ def main() -> None:
         "aux_build_pt15": lambda: entry_mod._get_alt_index(spark, SF_DIR, "pt15"),
         "aux_build_qps": lambda: entry_mod._get_alt_index(spark, SF_DIR, "qps"),
         "aux_build_removed": lambda: entry_mod._get_removed_index(spark, SF_DIR),
+        "aux_build_tr": lambda: entry_mod._get_tr_index(spark, SF_DIR),
+        "aux_build_tagsrm": lambda: entry_mod._get_tags_removed_index(spark, SF_DIR),
     }.items():
         t0 = time.time()
         fn()

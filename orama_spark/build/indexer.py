@@ -153,7 +153,7 @@ class IndexBuilder:
 
         def _field_postings(f_: str) -> DataFrame:
             if cfg.schema[f_] == "string[]":
-                return self._array_field_postings(tokenized, f_)
+                return IndexBuilder._array_field_postings(tokenized, f_)
             t = tokenized.select(
                 "docid",
                 F.col(_tok_col(f_)).alias("toks"),
@@ -331,7 +331,8 @@ class IndexBuilder:
         cfg.hooks.run_observe("after_insert_multiple", df, results)
         return results
 
-    def _array_field_postings(self, tokenized: DataFrame, f_: str) -> DataFrame:
+    @staticmethod
+    def _array_field_postings(tokenized: DataFrame, f_: str) -> DataFrame:
         """string[] postings replicating the per-element insert
         (components/index.ts:260-301 + 79-119):
           * the radix set holds every token of every element -> one

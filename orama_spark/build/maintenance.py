@@ -41,17 +41,11 @@ def _tok_col(field: str) -> str:
     return "__tok_" + field.replace(".", "__")
 
 
-def _check_no_string_arrays(config: IndexConfig) -> None:
-    """Incremental maintenance of string[] fields is not implemented:
-    the per-element insert recurrence (index.ts:260-301) has no clean
-    batch inverse (the reference's own remove leaves avgFieldLength NaN
-    after the first element re-removal). Build-time support is full."""
-    for f_ in config.searchable_fields:
-        if config.schema[f_] == "string[]":
-            raise NotImplementedError(
-                "incremental insert/remove with string[] searchable "
-                "fields: rebuild instead (IndexBuilder.build)"
-            )
+def _array_fields(config: IndexConfig) -> list[str]:
+    return [
+        f_ for f_ in config.searchable_fields
+        if config.schema[f_] == "string[]"
+    ]
 
 
 def _stats_path(index_dir: str) -> str:
@@ -79,7 +73,6 @@ def remove_documents(
     no-op returning false for unknown ids, methods/remove.ts), so stats
     are only adjusted for documents that actually leave the index.
     """
-    _check_no_string_arrays(config)
     remove_ids = config.hooks.run_transform("before_remove_multiple", remove_ids)
     remove_ids = remove_ids.select(F.col(remove_ids.columns[0]).alias("docid")).distinct()
     # only docs that exist: semi-join against the live docs table —
@@ -119,6 +112,24 @@ def remove_documents(
         .agg(F.sum("field_len").alias("s"), F.count("*").alias("c"))
         .collect()
     }
+    # string[] removal quirk (REPLICATED from the reference): remove
+    # runs removeDocumentScoreParameters once PER ELEMENT
+    # (index.ts:383-405 -> removeScalar -> index.ts:121-132), but the
+    # first element call clears fieldLengths[internalId]; the second
+    # element then computes (avg*N - undefined)/(N-1) = NaN, permanently
+    # poisoning avgFieldLength for that field until a rebuild. So:
+    # removing ANY doc whose array field holds >= 2 elements sets the
+    # field average to NaN; 1-element docs behave exactly like scalars.
+    poisoned: set[str] = set()
+    arr_fields = _array_fields(config)
+    if arr_fields:
+        tokens = spark.read.parquet(os.path.join(index_dir, "tokens")).join(
+            remove_ids, "docid", "left_semi"
+        )
+        for f_ in arr_fields:
+            c_ = F.col(_tok_col(f_))
+            if tokens.where(c_.isNotNull() & (F.size(c_) >= 2)).limit(1).count():
+                poisoned.add(f_)
     stats = _load_stats(index_dir)
     n = stats["docs_count"]
     for field, info in stats["fields"].items():
@@ -129,9 +140,12 @@ def remove_documents(
         # index.ts:121-132 / remove.ts)
         dwf = info["docs_with_field"]
         denom = dwf - c
-        info["avg_field_length"] = (
-            (info["avg_field_length"] * dwf - s) / denom if denom > 0 else 0.0
-        )
+        if field in poisoned:
+            info["avg_field_length"] = float("nan")
+        else:
+            info["avg_field_length"] = (
+                (info["avg_field_length"] * dwf - s) / denom if denom > 0 else 0.0
+            )
         info["docs_with_field"] = denom
     stats["docs_count"] = n - n_removed
 
@@ -148,7 +162,6 @@ def insert_documents(
     """Append new documents (must carry config.docid_col; ids must be new
     — duplicate ids raise, mirroring DOCUMENT_ALREADY_EXISTS,
     documents-store.ts:54)."""
-    _check_no_string_arrays(config)
     new_docs = config.hooks.run_transform("before_insert_multiple", new_docs)
     docid = config.docid_col
     docs_path = os.path.join(index_dir, "docs")
@@ -184,8 +197,14 @@ def insert_documents(
 
     new_docs.write.mode("append").parquet(docs_path)
 
+    from .tokenize import tokens_arr_udf
+
     tok_cols = [
-        tokens_udf(config.tokenizer, f_)(F.col(f_).cast("string")).alias(_tok_col(f_))
+        (
+            tokens_arr_udf(config.tokenizer, f_)(F.col(f_))
+            if config.schema[f_] == "string[]"
+            else tokens_udf(config.tokenizer, f_)(F.col(f_).cast("string"))
+        ).alias(_tok_col(f_))
         for f_ in config.searchable_fields
     ]
     tokenized = new_docs.select(F.col(docid).alias("docid"), *tok_cols).persist()
@@ -194,6 +213,20 @@ def insert_documents(
     parts = []
     metas = []
     for f_ in config.searchable_fields:
+        if config.schema[f_] == "string[]":
+            # same per-element shapes as the builder (one posting per
+            # distinct (doc, term) across elements; tf from the LAST
+            # element; field_len = last element's token count)
+            parts.append(IndexBuilder._array_field_postings(tokenized, f_))
+            c_ = F.col(_tok_col(f_))
+            metas.append(
+                tokenized.select(
+                    "docid",
+                    F.lit(f_).alias("field"),
+                    F.size(F.element_at(_tok_col(f_), -1)).alias("field_len"),
+                ).where(c_.isNotNull() & (F.size(c_) > 0))
+            )
+            continue
         t = tokenized.select("docid", F.col(_tok_col(f_)).alias("toks")).where(
             F.col("toks").isNotNull()
         )
@@ -250,13 +283,44 @@ def insert_documents(
     }
     stats = _load_stats(index_dir)
     n = stats["docs_count"]
+    arr_fields = set(_array_fields(config))
+    arr_rows: dict[str, list] = {}
+    if arr_fields:
+        # per-element order-dependent recurrence (index.ts:88 fires once
+        # per element with the GLOBAL running doc count; docs lacking
+        # the field still advance it): fold sequentially from the stored
+        # average. Bounded by the user's insert batch (lengths only
+        # cross the driver), like the reference's own per-doc loop.
+        order = F.col("docid").asc()
+        for f_ in arr_fields:
+            c_ = F.col(_tok_col(f_))
+            rows = (
+                tokenized.select("docid", F.posexplode(c_).alias("pos", "etoks"))
+                .select("docid", "pos", F.size("etoks").alias("len"))
+                .orderBy("docid", "pos")
+                .collect()
+            )
+            arr_rows[f_] = rows
+        id_rank = {
+            r["docid"]: i + 1
+            for i, r in enumerate(
+                tokenized.select("docid").orderBy(order).collect()
+            )
+        }
     for field, info in stats["fields"].items():
         s, c = fl_sums.get(field, (0, 0))
         dwf = info["docs_with_field"]
         denom = dwf + c
-        info["avg_field_length"] = (
-            (info["avg_field_length"] * dwf + s) / denom if denom > 0 else 0.0
-        )
+        if field in arr_fields:
+            avg = info["avg_field_length"]
+            for r in arr_rows[field]:
+                cj = float(n + id_rank[r["docid"]])
+                avg = (avg * (cj - 1) + r["len"]) / cj
+            info["avg_field_length"] = avg
+        else:
+            info["avg_field_length"] = (
+                (info["avg_field_length"] * dwf + s) / denom if denom > 0 else 0.0
+            )
         info["docs_with_field"] = denom
     stats["docs_count"] = n + n_new
     _save_stats(index_dir, stats)

@@ -167,6 +167,14 @@ class OramaOracle:
                 ) / (count - 1)
             else:
                 self.avg_field_length[prop] = 0.0
+            value_for_quirk = _get_nested(doc, prop)
+            if isinstance(value_for_quirk, list) and len(value_for_quirk) >= 2:
+                # reference quirk (index.ts:383-405): remove calls
+                # removeDocumentScoreParameters once PER ELEMENT; the
+                # first call clears fieldLengths[id], so the second
+                # computes (avg*N - undefined)/(N-1) = NaN — the field
+                # average is poisoned until a rebuild
+                self.avg_field_length[prop] = float("nan")
             self.frequencies[prop].pop(docid, {})
             # the reference re-tokenizes the stored value and decrements
             # tokenOccurrences once per OCCURRENCE (index.ts:341-344 —

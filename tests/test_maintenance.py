@@ -230,3 +230,83 @@ def test_build_resume_skips_completed_stages(spark, tmpdir_index):
     df = spark.createDataFrame(ROWS)
     entries = IndexBuilder(cfg, postings_partitions=2).build(df, tmpdir_index, input_id="m")
     assert all(e.get("skipped") for e in entries.values()), "resume must skip all"
+
+
+# ---------------------------------------------------------------- string[]
+TAGS_SCHEMA = {"tags": "string[]", "cat": "enum"}
+TAGS_ROWS = [
+    {"docid": 1, "tags": ["red fox"], "cat": "x"},
+    {"docid": 2, "tags": ["blue bird"], "cat": "x"},
+    {"docid": 3, "tags": ["red wolf"], "cat": "y"},
+    {"docid": 4, "tags": ["green frog"], "cat": "y"},
+    {"docid": 5, "tags": ["red hen"], "cat": "z"},
+]
+
+
+def _tags_build(spark, out, rows):
+    cfg = IndexConfig(schema=TAGS_SCHEMA)
+    df = spark.createDataFrame(rows)
+    IndexBuilder(cfg, postings_partitions=2).build(
+        df, out, input_id=f"tags-{len(rows)}"
+    )
+    return cfg
+
+
+def _tags_oracle(rows):
+    db = OramaOracle(TAGS_SCHEMA)
+    for r in rows:
+        db.insert({k: v for k, v in r.items() if k != "docid"}, docid=r["docid"])
+    return db
+
+
+def test_string_array_incremental_insert_parity(spark, tmpdir_index):
+    cfg = _tags_build(spark, tmpdir_index, TAGS_ROWS)
+    orc = _tags_oracle(TAGS_ROWS)
+    new = [
+        {"docid": 10, "tags": ["red kite", "blue jay"], "cat": "w"},
+        {"docid": 11, "tags": ["grey seal"], "cat": "w"},
+    ]
+    insert_documents(spark, tmpdir_index, cfg, spark.createDataFrame(new))
+    for r in new:
+        orc.insert({k: v for k, v in r.items() if k != "docid"}, docid=r["docid"])
+    idx = SearchIndex.load(spark, tmpdir_index, cfg)
+    assert_match(idx, orc, "red")
+    assert_match(idx, orc, "blue")
+    assert idx.stats["fields"]["tags"]["avg_field_length"] == pytest.approx(
+        orc.avg_field_length["tags"], rel=1e-9
+    )
+
+
+def test_string_array_incremental_remove_parity(spark, tmpdir_index):
+    # all arrays single-element -> removal telescopes exactly (and the
+    # NaN quirk does not fire), rank+score parity with the oracle
+    cfg = _tags_build(spark, tmpdir_index, TAGS_ROWS)
+    orc = _tags_oracle(TAGS_ROWS)
+    remove_documents(
+        spark, tmpdir_index, cfg, spark.createDataFrame([(2,), (4,)], "docid long")
+    )
+    orc.remove(2)
+    orc.remove(4)
+    idx = SearchIndex.load(spark, tmpdir_index, cfg)
+    assert_match(idx, orc, "red")
+    assert idx.search(term="red").count() == 3
+
+
+def test_string_array_remove_nan_quirk(spark, tmpdir_index):
+    """Removing a doc whose array has >=2 elements poisons the field
+    average to NaN — the reference's own behavior (index.ts:383-405
+    clears fieldLengths on the first element, NaN on the second),
+    replicated by both the Spark path and the oracle."""
+    import math
+
+    rows = TAGS_ROWS + [{"docid": 6, "tags": ["red kite", "blue jay"],
+                         "cat": "w"}]
+    cfg = _tags_build(spark, tmpdir_index, rows)
+    orc = _tags_oracle(rows)
+    remove_documents(
+        spark, tmpdir_index, cfg, spark.createDataFrame([(6,)], "docid long")
+    )
+    orc.remove(6)
+    idx = SearchIndex.load(spark, tmpdir_index, cfg)
+    assert math.isnan(idx.stats["fields"]["tags"]["avg_field_length"])
+    assert math.isnan(orc.avg_field_length["tags"])
