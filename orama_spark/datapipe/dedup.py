@@ -316,7 +316,7 @@ def simhash64(
             # bits[j] = count of tokens with bit j set
             bits = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
             pos = (2 * bits) > len(toks)  # sum(+1/-1) > 0
-            val = sum(1 << j for j in range(64) if pos[j])
+            val = int((pos.astype(np.uint64) << shifts).sum(dtype=np.uint64))
             return val - (1 << 64) if val >= (1 << 63) else val  # as int64
 
         return texts.map(one)

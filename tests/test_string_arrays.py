@@ -118,14 +118,19 @@ def test_avg_field_length_recurrence_parity(pair):
     )
 
 
-def test_maintenance_raises_for_string_arrays(spark, pair, tmpdir_index):
+def test_maintenance_accepts_string_arrays(spark, pair, tmpdir_index):
+    """Round 3: incremental maintenance supports string[] (per-element
+    semantics; exact parity + the NaN-poisoning removal quirk live in
+    test_maintenance)."""
     from orama_spark.build.maintenance import insert_documents
+    from orama_spark.query.engine import SearchIndex
 
     cfg = IndexConfig(schema=SCHEMA)
     df = spark.createDataFrame(ROWS, "docid long, name array<string>")
     IndexBuilder(cfg, postings_partitions=2).build(df, tmpdir_index, input_id="arr2")
-    with pytest.raises(NotImplementedError, match="string\\[\\]"):
-        insert_documents(
-            spark, tmpdir_index, cfg,
-            spark.createDataFrame([(9, ["Neville"])], "docid long, name array<string>"),
-        )
+    insert_documents(
+        spark, tmpdir_index, cfg,
+        spark.createDataFrame([(9, ["Neville"])], "docid long, name array<string>"),
+    )
+    idx = SearchIndex.load(spark, tmpdir_index, cfg)
+    assert 9 in [r["docid"] for r in idx.search(term="neville").top_df().collect()]
