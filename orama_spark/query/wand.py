@@ -87,6 +87,12 @@ _SCORED_SCHEMA = "docid long, s double"
 _SURVIVOR_SCHEMA = (
     "field string, term string, first_docid long, clip_start long, clip_end long"
 )
+_KEPT_EMPTY_SCHEMA = (
+    "field string, term string, first_docid long, last_docid long, "
+    "block_id int, n int, docid_deltas binary, orig_docids binary, "
+    "field_lens binary, max_score double, df long, clip_start long, "
+    "clip_end long"
+)
 _EPS = 1e-12  # relative float-jitter allowance on θ comparisons
 
 # champion list depth: top CHAMPION_BLOCKS blocks per (field, term) are
@@ -224,13 +230,15 @@ class BlockIndex:
     def __init__(self, spark: SparkSession, config: IndexConfig,
                  blocks: DataFrame, dictionary: DataFrame, stats: dict,
                  champions: Optional[DataFrame] = None,
-                 sweep_buckets: int = 256):
+                 sweep_buckets: int = 256,
+                 driver_sweep_max_blocks: int = 8192):
         self.spark = spark
         self.config = config
         self.blocks = blocks
         self.dictionary = dictionary
         self.stats = stats
         self.champions = champions
+        self.driver_sweep_max_blocks = driver_sweep_max_blocks
         self.tokenizer = Tokenizer(config.tokenizer)
         # sweep granularity: each bucket sees the block *metadata*
         # overlapping ~1/sweep_buckets of the internal docid span; raise
@@ -341,6 +349,40 @@ class BlockIndex:
             avgs, float(self.stats["docs_count"]), self.config.bm25, clipped
         )
 
+    @staticmethod
+    def _driver_sweep(rows, theta: float):
+        """Exact global interval sweep over collected block metadata
+        (the numpy twin of _sweep_fn without bucket clipping). Returns
+        survivor tuples (field, term, first_docid, clip_start,
+        clip_end) or None when nothing survives."""
+        if not rows:
+            return None
+        first = np.array([r["first_docid"] for r in rows], dtype=np.int64)
+        last = np.array([r["last_docid"] for r in rows], dtype=np.int64)
+        if theta <= 0.0:
+            keep = np.ones(len(rows), dtype=bool)
+        else:
+            thr = theta * (1.0 - _EPS)
+            ms = np.array([r["max_score"] for r in rows], dtype=np.float64)
+            pts = np.concatenate([first, last + 1])
+            deltas = np.concatenate([ms, -ms])
+            upts, inv = np.unique(pts, return_inverse=True)
+            sums = np.zeros(len(upts))
+            np.add.at(sums, inv, deltas)
+            seg_ub = np.cumsum(sums)
+            good = np.concatenate(([0], np.cumsum(seg_ub >= thr)))
+            i0 = np.searchsorted(upts, first, side="right") - 1
+            i1 = np.searchsorted(upts, last, side="right") - 1
+            keep = (good[i1 + 1] - good[i0]) > 0
+        if not keep.any():
+            return None
+        return [
+            (r["field"], r["term"], int(first[i]), int(first[i]),
+             int(last[i]))
+            for i, r in enumerate(rows)
+            if keep[i]
+        ]
+
     def _prune(self, meta: DataFrame, k: int, keep_ids: Optional[DataFrame],
                tokens: Optional[list] = None) -> tuple[DataFrame, DataFrame]:
         """Phases 0/1: returns (surviving (block ⨝ clip) rows, 1-row θ
@@ -370,6 +412,31 @@ class BlockIndex:
             theta_df = F.broadcast(
                 self.spark.createDataFrame([(theta,)], "theta double")
             )
+            # bounded driver sweep: when the query terms' block METADATA
+            # fits under driver_sweep_max_blocks (rare terms, small
+            # corpora — detected with a LIMIT-guarded collect, one tiny
+            # job), run the exact interval sweep in numpy and broadcast
+            # the surviving block keys, collapsing phase 1 from
+            # explode+shuffle+mapInPandas to a single broadcast join.
+            # Huge-df terms exceed the cap and take the distributed
+            # sweep unchanged — same bounded-collect class as the
+            # engine's top-k/expansion collects.
+            cap = self.driver_sweep_max_blocks
+            rows = meta.select(
+                "field", "term", "first_docid", "last_docid", "max_score"
+            ).limit(cap + 1).collect()
+            if len(rows) <= cap:
+                surv = self._driver_sweep(rows, theta)
+                if surv is None:
+                    kept = self.spark.createDataFrame([], _KEPT_EMPTY_SCHEMA)
+                else:
+                    kept = meta.join(
+                        F.broadcast(
+                            self.spark.createDataFrame(surv, _SURVIVOR_SCHEMA)
+                        ),
+                        ["field", "term", "first_docid"],
+                    )
+                return kept, theta_df
         elif self.champions is not None and tokens is not None:
             seed_scored = self.champions.where(
                 F.col("term").isin(tokens)
