@@ -430,12 +430,16 @@ class BlockIndex:
                 if surv is None:
                     kept = self.spark.createDataFrame([], _KEPT_EMPTY_SCHEMA)
                 else:
+                    # survivors are bounded by the cap: funnel them into
+                    # ONE partition so the Arrow decode runs as a single
+                    # Python task instead of fanning a worker per scan
+                    # split (the distributed path keeps its parallelism)
                     kept = meta.join(
                         F.broadcast(
                             self.spark.createDataFrame(surv, _SURVIVOR_SCHEMA)
                         ),
                         ["field", "term", "first_docid"],
-                    )
+                    ).repartition(1)
                 return kept, theta_df
         elif self.champions is not None and tokens is not None:
             seed_scored = self.champions.where(
