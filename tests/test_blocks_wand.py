@@ -128,3 +128,21 @@ class TestWand:
         st = blocks.pruning_stats("fox dog quick", k=10)
         assert st["blocks_total"] > 0
         assert st["blocks_kept"] <= st["blocks_total"]
+
+    def test_driver_and_distributed_sweeps_identical(self, indexes):
+        """wand_topk without keep_ids takes the bounded driver-sweep
+        fast path; forcing driver_sweep_max_blocks=0 exercises the
+        distributed bucketed sweep on the same query — both phase-1
+        implementations must agree exactly."""
+        _, blocks = indexes
+        forced = BlockIndex(
+            blocks.spark, CFG, blocks.blocks, blocks.dictionary,
+            blocks.stats, champions=blocks.champions,
+            driver_sweep_max_blocks=0,
+        )
+        for term in ["fox", "search engine", "river mountain"]:
+            a = [(r["docid"], round(r["score"], 9))
+                 for r in blocks.wand_topk(term, k=10).collect()]
+            b = [(r["docid"], round(r["score"], 9))
+                 for r in forced.wand_topk(term, k=10).collect()]
+            assert a == b and a, term
