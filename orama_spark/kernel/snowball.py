@@ -171,10 +171,12 @@ def _fr_rv(w: str) -> int:
 
 def stem_fr(word: str) -> str:
     """Snowball French."""
-    # prelude (repeat goto, french.sbl): sequential left-to-right over
-    # the EVOLVING string — a char already marked uppercase is a
-    # consonant for later positions (e.g. "payie" -> "paYie", the i is
-    # NOT marked because its left neighbor is now Y)
+    # prelude (repeat goto, french.sbl): after EVERY replacement the
+    # cursor resets to the match START and the alternatives re-run
+    # there (compiled fr.js: `f.cursor = b` before `break b`) — so
+    # "ïua" goes ï[u->U]a then [ï->Hi] at the same position, yielding
+    # "HiUa". Staying on `c` after a replacement reproduces that;
+    # every branch rewrites its trigger, so each position terminates.
     chars = list(word)
     n = len(chars)
     c = 0
@@ -184,33 +186,26 @@ def stem_fr(word: str) -> str:
             nx = chars[c + 1]
             if nx == "u" and c + 2 < n and chars[c + 2] in _FR_VOWELS:
                 chars[c + 1] = "U"
-                c += 2
                 continue
             if nx == "i" and c + 2 < n and chars[c + 2] in _FR_VOWELS:
                 chars[c + 1] = "I"
-                c += 2
                 continue
             if nx == "y":
                 chars[c + 1] = "Y"
-                c += 2
                 continue
         if ch == "ë":  # newer french.sbl: 'ë' -> 'He', 'ï' -> 'Hi'
             chars[c:c + 1] = ["H", "e"]
             n += 1
-            c += 2
             continue
         if ch == "ï":
             chars[c:c + 1] = ["H", "i"]
             n += 1
-            c += 2
             continue
         if ch == "y" and c + 1 < n and chars[c + 1] in _FR_VOWELS:
             chars[c] = "Y"
-            c += 1
             continue
         if ch == "q" and c + 1 < n and chars[c + 1] == "u":
             chars[c + 1] = "U"
-            c += 2
             continue
         c += 1
     w = "".join(chars)
@@ -1164,10 +1159,14 @@ def stem_nl(word: str) -> str:
     w = word.translate(str.maketrans("äëïöüáéíóú", "aeiouaeiou"))
     chars = list(w)
     n = len(chars)
+    # neighbor checks run over the EVOLVING string: once an i/y is
+    # uppercased it is a consonant for the next position ("iiie" ->
+    # "iIie", the third i stays — its left neighbor is already I)
     for i in range(n):
-        if chars[i] == "y" and (i == 0 or w[i - 1] in _NL_VOWELS):
+        if chars[i] == "y" and (i == 0 or chars[i - 1] in _NL_VOWELS):
             chars[i] = "Y"
-        elif chars[i] == "i" and 0 < i < n - 1 and w[i - 1] in _NL_VOWELS and w[i + 1] in _NL_VOWELS:
+        elif chars[i] == "i" and 0 < i < n - 1 \
+                and chars[i - 1] in _NL_VOWELS and chars[i + 1] in _NL_VOWELS:
             chars[i] = "I"
     w = "".join(chars)
 
