@@ -855,6 +855,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["hybrid_topk"] = hybrid
 
+    # Gopher-style quality rule battery (Rae et al. 2021 §A1.1) — the
+    # standard pre-training corpus filter; one Arrow counts kernel +
+    # codegen flags (map-only, no shuffle). The sf fixture is keyword
+    # soup where several rules never vary (no required stopwords, no
+    # bullets/ellipses/duplicate lines), so plant rule-tripping
+    # variants INSIDE the query (dedup_exact precedent): each flag has
+    # both 0 and 1 rows, making the gate able to catch inverted rules.
+    def gopher(spark, sf_dir):
+        from orama_spark.datapipe.text_quality import gopher_rules
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.coalesce("text", F.lit("")).alias("text")
+        )
+
+        def slice_(mod, shift, text_expr):
+            return docs.where(F.col("doc_id") % 10 == mod).select(
+                (F.col("doc_id") + shift).alias("doc_id"), text_expr.alias("text")
+            )
+
+        planted = [
+            # trips ok_stopwords -> 1 (and nothing else by itself)
+            slice_(1, 1000000, F.concat(F.col("text"), F.lit(" of and that have"))),
+            # every line a bullet -> ok_bullet_lines = 0
+            slice_(2, 2000000, F.concat(F.lit("- "), F.regexp_replace("text", " ", "\n- "))),
+            # ellipsis spam -> ok_symbol_ratio = 0
+            slice_(3, 3000000, F.concat(F.col("text"), F.repeat(F.lit(" ..."), 20))),
+            # duplicated line -> ok_dup_lines = 0
+            slice_(4, 4000000, F.concat(F.col("text"), F.lit("\n"), F.col("text"))),
+        ]
+        allp = docs
+        for pl in planted:
+            allp = allp.unionByName(pl)
+        return gopher_rules(allp).withColumnRenamed("id", "docid")
+    q["text_gopher_rules"] = gopher
+
+    # cross-document duplicate paragraphs. The sf documents fixture is
+    # single-paragraph texts, so exercise the paragraph splitter for
+    # real: build multi-paragraph docs INSIDE the query by pairing each
+    # doc with its successor (text_i + '\n\n' + text_{i+1}) — every
+    # text then occurs as a paragraph of two synthetic docs, so the
+    # operator must split, trim, hash, and group correctly to match
+    # the oracle (non-vacuous by construction).
+    def dedup_para(spark, sf_dir):
+        from orama_spark.datapipe.dedup import duplicate_paragraphs
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        succ = docs.select(
+            (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("next_text")
+        )
+        paired = docs.join(succ, "doc_id").select(
+            "doc_id",
+            F.concat_ws(
+                "\n\n",
+                F.coalesce(F.col("text"), F.lit("")),
+                F.coalesce(F.col("next_text"), F.lit("")),
+            ).alias("text"),
+        )
+        return duplicate_paragraphs(paired)
+    q["dedup_paragraph"] = dedup_para
+
     return q
 
 
@@ -1571,4 +1631,105 @@ ORDER BY merged.score DESC, docid ASC
 LIMIT 10
 """
     )
+
+    sql["text_gopher_rules"] = r"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+),
+f AS (
+  SELECT doc_id AS docid, t FROM base
+  UNION ALL SELECT doc_id + 1000000, t || ' of and that have'
+    FROM base WHERE doc_id % 10 = 1
+  UNION ALL SELECT doc_id + 2000000, '- ' || replace(t, ' ', chr(10) || '- ')
+    FROM base WHERE doc_id % 10 = 2
+  UNION ALL SELECT doc_id + 3000000, t || repeat(' ...', 20)
+    FROM base WHERE doc_id % 10 = 3
+  UNION ALL SELECT doc_id + 4000000, t || chr(10) || t
+    FROM base WHERE doc_id % 10 = 4
+),
+w AS (
+  SELECT docid, t,
+         CASE WHEN length(regexp_replace(trim(t), '\s+', ' ', 'g')) = 0 THEN []
+              ELSE string_split(regexp_replace(trim(t), '\s+', ' ', 'g'), ' ') END AS toks,
+         string_split(t, chr(10)) AS lines
+  FROM f
+),
+c AS (
+  SELECT docid,
+         len(toks) AS n_words,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS sum_word_len,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+             s -> list_contains(list_transform(toks, x -> lower(x)), s))) AS n_stop_req,
+         (length(t) - length(replace(t, '#', '')))
+           + (length(t) - length(replace(t, '...', ''))) // 3
+           + (length(t) - length(replace(t, '…', ''))) AS n_symbols,
+         len(lines) AS n_lines,
+         len(list_distinct(lines)) AS n_distinct_lines,
+         len(list_filter(lines, x -> ltrim(x, E' \t') LIKE '-%'
+                                  OR ltrim(x, E' \t') LIKE '*%'
+                                  OR ltrim(x, E' \t') LIKE '•%')) AS n_bullet_lines,
+         len(list_filter(lines, x -> rtrim(x, E' \t') LIKE '%...'
+                                  OR rtrim(x, E' \t') LIKE '%…')) AS n_ellipsis_lines
+  FROM w
+),
+r AS (
+  SELECT docid, n_words, n_stop_req,
+         sum_word_len / greatest(n_words, 1) AS mean_word_len,
+         n_symbols / greatest(n_words, 1) AS symbol_ratio,
+         n_bullet_lines / greatest(n_lines, 1) AS bullet_ratio,
+         n_ellipsis_lines / greatest(n_lines, 1) AS ellipsis_ratio,
+         n_alpha_words / greatest(n_words, 1) AS alpha_ratio,
+         (n_lines - n_distinct_lines) / greatest(n_lines, 1) AS dup_line_ratio
+  FROM c
+),
+g AS (
+  SELECT docid, n_words, n_stop_req, mean_word_len, symbol_ratio, bullet_ratio,
+         ellipsis_ratio, alpha_ratio, dup_line_ratio,
+         (CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)::BIGINT AS ok_word_count,
+         (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 1 ELSE 0 END)::BIGINT AS ok_mean_word_len,
+         (CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END)::BIGINT AS ok_symbol_ratio,
+         (CASE WHEN bullet_ratio <= 0.9 THEN 1 ELSE 0 END)::BIGINT AS ok_bullet_lines,
+         (CASE WHEN ellipsis_ratio <= 0.3 THEN 1 ELSE 0 END)::BIGINT AS ok_ellipsis_lines,
+         (CASE WHEN alpha_ratio >= 0.8 THEN 1 ELSE 0 END)::BIGINT AS ok_alpha_words,
+         (CASE WHEN n_stop_req >= 2 THEN 1 ELSE 0 END)::BIGINT AS ok_stopwords,
+         (CASE WHEN dup_line_ratio <= 0.3 THEN 1 ELSE 0 END)::BIGINT AS ok_dup_lines
+  FROM r
+)
+SELECT docid, n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       round(bullet_ratio, 6) AS bullet_ratio,
+       round(ellipsis_ratio, 6) AS ellipsis_line_ratio,
+       round(alpha_ratio, 6) AS alpha_word_ratio,
+       n_stop_req AS n_required_stopwords,
+       round(dup_line_ratio, 6) AS dup_line_ratio,
+       ok_word_count, ok_mean_word_len, ok_symbol_ratio, ok_bullet_lines,
+       ok_ellipsis_lines, ok_alpha_words, ok_stopwords, ok_dup_lines,
+       ok_word_count * ok_mean_word_len * ok_symbol_ratio * ok_bullet_lines
+         * ok_ellipsis_lines * ok_alpha_words * ok_stopwords * ok_dup_lines AS gopher_pass
+FROM g
+"""
+
+    sql["dedup_paragraph"] = """
+WITH paired AS (
+  SELECT a.doc_id AS doc_id,
+         coalesce(a.text, '') || chr(10) || chr(10) || coalesce(b.text, '') AS text
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+),
+raw_paras AS (
+  SELECT doc_id,
+         unnest(string_split(coalesce(text, ''), chr(10) || chr(10))) AS para0
+  FROM paired
+),
+paras AS (SELECT doc_id, trim(para0) AS para FROM raw_paras)
+SELECT md5(para) AS para_hash,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences,
+       min(doc_id) AS first_doc_id
+FROM paras
+WHERE length(para) >= 30
+GROUP BY md5(para)
+HAVING count(DISTINCT doc_id) >= 2
+"""
     return sql

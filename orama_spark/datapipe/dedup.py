@@ -448,3 +448,43 @@ def embedding_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def duplicate_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 30,
+) -> DataFrame:
+    """Cross-document EXACT duplicate paragraphs — the sub-document
+    granularity every large pre-training dedup pipeline runs in
+    addition to whole-doc dedup (boilerplate headers/footers/licenses
+    repeat across pages whose full texts differ).
+
+    Paragraph = '\\n\\n'-delimited block, space-trimmed; blocks shorter
+    than ``min_len`` chars are ignored (navigation crumbs etc.).
+    Returns one row per duplicated paragraph:
+    (para_hash, n_docs, n_occurrences, first_doc_id).
+
+    Scale shape: the explode is map-side (pipelines into the scan);
+    the ONLY shuffle is the partial-aggregated groupBy on the 128-bit
+    paragraph hash — uniformly distributed keys, no skew, no join.
+    """
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n\n")
+        ).alias("para"),
+    )
+    p = paras.select("doc_id", F.trim(F.col("para")).alias("para")).where(
+        F.length("para") >= min_len
+    )
+    return (
+        p.groupBy(F.md5(F.col("para")).alias("para_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

@@ -244,3 +244,134 @@ def winnowing_fingerprints(
         return texts.map(one)
 
     return docs.select(F.col(id_col).alias("id"), _winnow(F.col(text_col)).alias("fingerprints"))
+
+
+# required-stopword list used by the Gopher rules (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", §A1.1 quality filtering)
+_GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _gopher_counts_kernel():
+    """ONE Arrow pass computing every count the Gopher-style quality
+    rules need (same design rule as ``_quality_counts_kernel``: the
+    naive formulation is ~10 higher-order expressions that each
+    re-split the text interpreted). Word canon matches the quality
+    kernel ([\\t\\n\\f\\r ] whitespace, space-trim); lines split on
+    '\\n' with ' \\t'-strip for the bullet / ellipsis checks, exactly
+    replicable in the DuckDB oracle.
+    """
+    import re
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ws_re = re.compile(r"[\t\n\f\r ]+")
+    alpha_re = re.compile(r"[A-Za-z]")
+    req = frozenset(_GOPHER_REQUIRED_STOPWORDS)
+
+    fields = [
+        "n_words", "n_alpha_words", "sum_word_len", "n_stop_req",
+        "n_symbols", "n_lines", "n_distinct_lines", "n_bullet_lines",
+        "n_ellipsis_lines",
+    ]
+    schema = StructType([StructField(f, LongType()) for f in fields])
+
+    @F.pandas_udf(schema)
+    def _counts(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            if t is None:
+                t = ""
+            canon = ws_re.sub(" ", t.strip(" "))
+            toks = canon.split(" ") if canon else []
+            lower = [x.lower() for x in toks]
+            lines = t.split("\n")
+            lstripped = [ln.lstrip(" \t") for ln in lines]
+            rstripped = [ln.rstrip(" \t") for ln in lines]
+            rows.append(
+                (
+                    len(toks),
+                    sum(1 for x in toks if alpha_re.search(x)),
+                    sum(len(x) for x in toks),
+                    len(req.intersection(lower)),
+                    t.count("#") + t.count("...") + t.count("…"),
+                    len(lines),
+                    len(set(lines)),
+                    sum(1 for ln in lstripped if ln[:1] in ("-", "*", "•")),
+                    sum(
+                        1
+                        for ln in rstripped
+                        if ln.endswith("...") or ln.endswith("…")
+                    ),
+                )
+            )
+        return pd.DataFrame(rows, columns=fields)
+
+    return _counts
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style document-quality rule flags (Rae et al. 2021 §A1.1),
+    the standard pre-training corpus filter battery:
+
+    - 50 <= word count <= 100,000
+    - 3 <= mean word length <= 10
+    - symbol-to-word ratio ('#', '...', U+2026) <= 0.1
+    - <= 90% of lines start with a bullet ('-', '*', U+2022)
+    - <= 30% of lines end with an ellipsis
+    - >= 80% of words contain an alphabetic character
+    - >= 2 distinct required stopwords present (the/be/to/of/and/that/have/with)
+    - <= 30% duplicate (byte-identical) lines
+
+    Returns (id, the underlying ratios, each rule flag 0/1, and
+    gopher_pass = AND of all flags). ONE Arrow kernel for the counts
+    (map-only, pipelines into the scan); the flags are whole-stage-
+    codegen arithmetic. At 100 TB this is a pure map — no shuffle, no
+    join, no driver action.
+    """
+    kernel = _gopher_counts_kernel()
+    f = docs.select(F.col(id_col).alias("id"), kernel(F.col(text_col)).alias("f"))
+    c = f["f"]
+    safe_words = F.greatest(c["n_words"], F.lit(1)).cast("double")
+    safe_lines = F.greatest(c["n_lines"], F.lit(1)).cast("double")
+    mean_word_len = c["sum_word_len"] / safe_words
+    symbol_ratio = c["n_symbols"] / safe_words
+    bullet_ratio = c["n_bullet_lines"] / safe_lines
+    ellipsis_ratio = c["n_ellipsis_lines"] / safe_lines
+    alpha_ratio = c["n_alpha_words"] / safe_words
+    dup_line_ratio = (c["n_lines"] - c["n_distinct_lines"]) / safe_lines
+
+    def flag(cond) -> Column:
+        return F.when(cond, 1).otherwise(0).cast("long")
+
+    r_words = flag((c["n_words"] >= 50) & (c["n_words"] <= 100000))
+    r_wordlen = flag((mean_word_len >= 3) & (mean_word_len <= 10))
+    r_symbol = flag(symbol_ratio <= 0.1)
+    r_bullet = flag(bullet_ratio <= 0.9)
+    r_ellipsis = flag(ellipsis_ratio <= 0.3)
+    r_alpha = flag(alpha_ratio >= 0.8)
+    r_stop = flag(c["n_stop_req"] >= 2)
+    r_dupline = flag(dup_line_ratio <= 0.3)
+    gopher_pass = (
+        r_words * r_wordlen * r_symbol * r_bullet * r_ellipsis * r_alpha
+        * r_stop * r_dupline
+    )
+    return f.select(
+        "id",
+        c["n_words"].alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_line_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        c["n_stop_req"].alias("n_required_stopwords"),
+        F.round(dup_line_ratio, 6).alias("dup_line_ratio"),
+        r_words.alias("ok_word_count"),
+        r_wordlen.alias("ok_mean_word_len"),
+        r_symbol.alias("ok_symbol_ratio"),
+        r_bullet.alias("ok_bullet_lines"),
+        r_ellipsis.alias("ok_ellipsis_lines"),
+        r_alpha.alias("ok_alpha_words"),
+        r_stop.alias("ok_stopwords"),
+        r_dupline.alias("ok_dup_lines"),
+        gopher_pass.alias("gopher_pass"),
+    )

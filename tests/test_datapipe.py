@@ -258,3 +258,88 @@ class TestMultimodal:
         explained = plan._jdf.queryExecution().executedPlan().toString()
         m = [l for l in explained.splitlines() if "ReadSchema" in l]
         assert m and all("payload" not in l for l in m), explained
+
+
+class TestGopherRules:
+    """gopher_rules: hand-computed expectations per rule on crafted docs."""
+
+    @pytest.fixture(scope="class")
+    def crafted(self, spark):
+        good = " ".join(
+            ["the", "be", "to", "of", "and", "that", "have", "with"]
+            + ["wonderful" if i % 3 else "document" for i in range(60)]
+        )
+        rows = [
+            (0, good),                                   # passes everything
+            (1, "tiny doc of the and"),                  # fails word count
+            (2, good + " " + " ".join(["..."] * 30)),    # fails symbol ratio
+            (3, "\n".join("- item %d of the and have that be to with list entry" % i
+                          for i in range(60))),          # fails bullet lines
+            (4, "\n".join([good[:80] + "..."] * 60)),    # fails ellipsis + dup lines
+            (5, " ".join(["12345 67890 !!!!!"] * 40)),   # fails alpha + stopwords
+            (6, None),                                   # null text
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_flags(self, crafted):
+        out = {
+            r["id"]: r.asDict()
+            for r in text_quality.gopher_rules(crafted).collect()
+        }
+        assert out[0]["gopher_pass"] == 1
+        assert all(v == 1 for k, v in out[0].items() if k.startswith("ok_"))
+        assert out[1]["ok_word_count"] == 0 and out[1]["gopher_pass"] == 0
+        assert out[2]["ok_symbol_ratio"] == 0
+        assert out[3]["ok_bullet_lines"] == 0
+        assert out[3]["bullet_ratio"] == 1.0
+        assert out[4]["ok_ellipsis_lines"] == 0
+        assert out[4]["ok_dup_lines"] == 0
+        # 60 identical lines -> 59/60 duplicates
+        assert abs(out[4]["dup_line_ratio"] - 59 / 60) < 1e-6
+        assert out[5]["ok_alpha_words"] == 0 and out[5]["ok_stopwords"] == 0
+        assert out[6]["n_words"] == 0 and out[6]["gopher_pass"] == 0
+
+    def test_symbol_counting_matches_python(self, crafted):
+        out = {r["id"]: r for r in text_quality.gopher_rules(crafted).collect()}
+        t = "# heading ... more … and #tag...."
+        n_words = len(t.split())
+        expected = t.count("#") + t.count("...") + t.count("…")
+        row = (
+            text_quality.gopher_rules(
+                crafted.sparkSession.createDataFrame(
+                    [(99, t)], "doc_id long, text string"
+                )
+            )
+            .collect()[0]
+        )
+        assert abs(row["symbol_ratio"] - expected / n_words) < 1e-6
+
+
+class TestDuplicateParagraphs:
+    def test_cross_doc_paragraph_dups(self, spark):
+        boiler = "subscribe to our newsletter for weekly updates on everything"
+        rows = [
+            (0, "unique article body one with enough characters\n\n" + boiler),
+            (1, boiler + "\n\nanother distinct article body also long enough"),
+            (2, "third page reusing nothing from the others at all here"),
+            (3, boiler + "  \n\nshort\n\n" + boiler),  # boiler twice in one doc
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.duplicate_paragraphs(docs, min_len=30).collect()
+        assert len(out) == 1
+        row = out[0]
+        assert row["para_hash"] == hashlib.md5(boiler.encode()).hexdigest()
+        assert row["n_docs"] == 3          # docs 0, 1, 3
+        assert row["n_occurrences"] == 4   # doc 3 contains it twice
+        assert row["first_doc_id"] == 0
+
+    def test_min_len_and_trim(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "  padded paragraph with surrounding spaces here ok \n\nshort"),
+             (1, "padded paragraph with surrounding spaces here ok\n\nshort")],
+            "doc_id long, text string",
+        )
+        out = dedup.duplicate_paragraphs(docs, min_len=30).collect()
+        # trim makes the padded/unpadded paragraphs identical; 'short' is
+        # below min_len and never aggregated
+        assert len(out) == 1 and out[0]["n_docs"] == 2
