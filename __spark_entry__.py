@@ -915,6 +915,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return duplicate_paragraphs(paired)
     q["dedup_paragraph"] = dedup_para
 
+    # plugin-parsedoc port: build a deterministic html doc per row and
+    # explode it into (type, content, path) records. Because the html
+    # construction is known, the EXPECTED records are directly
+    # expressible in SQL without parsing — the oracle checks that the
+    # parser emits exactly the records the construction implies
+    # (heading record, the two <p> blocks merged per the default
+    # mergeStrategy with first-record path, minify whitespace collapse).
+    def parsedoc_records(spark, sf_dir):
+        from orama_spark.sources.parsedoc import parse_records_df
+
+        docs = _docs(spark, sf_dir).where(
+            F.length(F.trim(F.coalesce("text", F.lit("")))) > 0
+        )
+        html = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("<h1>Doc "), F.col("doc_id").cast("string"),
+                F.lit("</h1><p>"), F.col("text"),
+                F.lit("</p><p>src "), F.col("source"), F.lit("</p>"),
+            ).alias("html"),
+        )
+        return parse_records_df(html).select(
+            "id", "record_idx", "type", "content", "path"
+        )
+    q["parsedoc_records"] = parsedoc_records
+
     return q
 
 
@@ -1731,5 +1757,24 @@ FROM paras
 WHERE length(para) >= 30
 GROUP BY md5(para)
 HAVING count(DISTINCT doc_id) >= 2
+"""
+
+    sql["parsedoc_records"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS t,
+         source
+  FROM documents
+  WHERE length(trim(coalesce(text, ''))) > 0
+)
+SELECT doc_id AS id, 0::BIGINT AS record_idx, 'h1' AS type,
+       'Doc ' || doc_id AS content,
+       'root[0].html[1].body[0]' AS path
+FROM d
+UNION ALL
+SELECT doc_id, 1::BIGINT, 'p',
+       t || ' src ' || source,
+       'root[0].html[1].body[1]'
+FROM d
 """
     return sql

@@ -123,10 +123,17 @@ class Tokenizer:
     __slots__ = ("config", "_split", "_cache", "_stem")
 
     def __init__(self, config: TokenizerConfig | None = None):
+        from .cjk import CJK_LANGUAGES
+
         self.config = config or TokenizerConfig()
-        if self.config.language not in SPLITTERS:
+        if self.config.language in CJK_LANGUAGES:
+            # @orama/tokenizers japanese/mandarin: segmenter-based path,
+            # no split regex (kernel/cjk.py)
+            self._split = None
+        elif self.config.language not in SPLITTERS:
             raise ValueError(f"LANGUAGE_NOT_SUPPORTED: {self.config.language}")
-        self._split = SPLITTERS[self.config.language]
+        else:
+            self._split = SPLITTERS[self.config.language]
         self._cache: dict[tuple[str, str], str] = {}
         self._stem = None
         if self.config.stemming:
@@ -174,6 +181,19 @@ class Tokenizer:
         if prop and prop in cfg.tokenize_skip_properties:
             tokens = [self.normalize_token(prop, text)]
             # trim() (tokenizer/index.ts:47-55): strip leading/trailing ''
+            while tokens and tokens[-1] == "":
+                tokens.pop()
+            while tokens and tokens[0] == "":
+                tokens.pop(0)
+        elif self._split is None:
+            # CJK path (packages/tokenizers/src/japanese.ts:29-68,
+            # mandarin.ts same): segment, keep word-like tokens, trim
+            # edge empties. The reference wrapper applies NO
+            # normalizeToken on this path — no lowercasing, stopwords,
+            # or stemming — replicated faithfully.
+            from .cjk import cjk_segment
+
+            tokens = cjk_segment(text)
             while tokens and tokens[-1] == "":
                 tokens.pop()
             while tokens and tokens[0] == "":

@@ -1,0 +1,137 @@
+"""plugin-parsedoc port: the reference package's own test expectations
+(plugin-parsedoc/test/index.test.ts) against the pure-Python parser,
+plus the Spark mapInPandas surface and an engine-level search test
+mirroring the reference's 'it should store the values'."""
+
+import pytest
+
+from orama_spark.kernel import TokenizerConfig
+from orama_spark.oracle.engine import OramaOracle
+from orama_spark.sources.parsedoc import (
+    parse_html_records,
+    parse_md_records,
+    parse_records_df,
+)
+
+FX = "/root/reference/packages/plugin-parsedoc/test/fixtures"
+
+
+def _rd(name):
+    with open(f"{FX}/{name}") as f:
+        return f.read()
+
+
+class TestReferenceExpectations:
+    def test_store_values_paths(self):
+        r = parse_html_records(_rd("index.html"), "index.html/")
+        assert r == [
+            {
+                "type": "title",
+                "content": "Test",
+                "path": "index.html/root[1].html[0].head[1]",
+                "properties": {},
+            }
+        ]
+
+    def test_merge_strategies(self):
+        html = _rd("two-paragraphs.html")
+        assert len(parse_html_records(html)) == 1
+        assert len(parse_html_records(html, merge_strategy="split")) == 2
+        assert len(parse_html_records(html, merge_strategy="both")) == 3
+
+    def test_no_merge_across_tags_or_containers(self):
+        assert len(parse_html_records(_rd("item-in-between.html"))) == 3
+        assert len(parse_html_records(_rd("different-containers.html"))) == 2
+
+    def test_transform_tag(self):
+        r = parse_html_records(
+            _rd("h1.html"), "h1.html/",
+            transform_fn=lambda n: {**n, "tag": "h2"} if n["tag"] == "h1" else n,
+        )
+        assert r == [
+            {"type": "h2", "content": "Heading",
+             "path": "h1.html/root[0].html[1].body[0]", "properties": {}}
+        ]
+
+    def test_transform_content(self):
+        r = parse_html_records(
+            _rd("h1.html"), "h1.html/",
+            transform_fn=lambda n: {**n, "content": "New content"}
+            if n["tag"] == "h1" else n,
+        )
+        assert r[0]["content"] == "New content" and r[0]["type"] == "h1"
+
+    def test_transform_raw_wins(self):
+        for fn in (
+            lambda n: {**n, "raw": "<div><p>Hello</p></div>"},
+            lambda n: {"tag": "h2", "content": "X", "raw": "<div><p>Hello</p></div>"},
+        ):
+            r = parse_html_records(
+                _rd("h1.html"), "h1.html/",
+                transform_fn=lambda n, fn=fn: fn(n) if n["tag"] == "h1" else n,
+            )
+            assert r == [
+                {"type": "p", "content": "Hello",
+                 "path": "h1.html/root[0].html[1].body[0].div[0]",
+                 "properties": {}}
+            ]
+
+    def test_markdown(self):
+        r = parse_md_records(_rd("markdown.md"), "markdown.md/")
+        assert [(x["type"], x["content"], x["path"]) for x in r] == [
+            ("h1", "Title", "markdown.md/root[1].html[1].body[0]"),
+            ("p", "Some content", "markdown.md/root[1].html[1].body[1]"),
+            ("h2", "Subtitle", "markdown.md/root[1].html[1].body[2]"),
+            ("p", "Some more content", "markdown.md/root[1].html[1].body[3]"),
+        ]
+
+    def test_merge_first_property_wins(self):
+        r = parse_html_records(_rd("merge-properties.html"))
+        assert r == [
+            {"type": "p", "content": "First Second",
+             "path": "root[0].html[1].body[0]", "properties": {"id": "first"}}
+        ]
+
+    def test_search_level(self):
+        # reference test 1: index the records, search 'Test'
+        db = OramaOracle(
+            {"type": "string", "content": "string", "path": "string"},
+            TokenizerConfig(),
+        )
+        for rec in parse_html_records(_rd("index.html"), "index.html/"):
+            db.insert({k: rec[k] for k in ("type", "content", "path")})
+        res = db.search(term="Test")
+        assert res["count"] == 1
+        assert res["hits"][0]["document"]["content"] == "Test"
+
+
+class TestSparkSurface:
+    def test_map_only_explode(self, spark):
+        rows = [
+            (0, "<h1>Alpha</h1><p>body text one</p>"),
+            (1, _rd("two-paragraphs.html")),
+            (2, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, html string")
+        out = parse_records_df(df).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["id"], []).append(r)
+        assert [r["type"] for r in sorted(by_doc[0], key=lambda r: r["record_idx"])] == ["h1", "p"]
+        assert len(by_doc[1]) == 1  # merged paragraphs
+        assert 2 not in by_doc     # null html -> no records
+        # map-only plan: no exchange
+        plan = parse_records_df(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+    def test_parity_with_pure_python(self, spark):
+        html = _rd("different-containers.html")
+        df = spark.createDataFrame([(7, html)], "doc_id long, html string")
+        got = [
+            (r["type"], r["content"], r["path"])
+            for r in sorted(parse_records_df(df).collect(),
+                            key=lambda r: r["record_idx"])
+        ]
+        exp = [(x["type"], x["content"], x["path"])
+               for x in parse_html_records(html)]
+        assert got == exp
