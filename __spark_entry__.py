@@ -941,6 +941,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["parsedoc_records"] = parsedoc_records
 
+    # Gopher repetition filters. The fixture is single-line distinct
+    # texts (every line/dup stat would be constant 0), so plant two
+    # variant slices: doubled-line docs (trips the line stats) and
+    # doubled-text docs (trips the dup-5-gram stat); top-ngram stats
+    # vary naturally on the keyword-soup corpus.
+    def repetition(spark, sf_dir):
+        from orama_spark.datapipe.text_quality import repetition_stats
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.coalesce("text", F.lit("")).alias("text")
+        )
+        planted = [
+            docs.where(F.col("doc_id") % 10 == 4).select(
+                (F.col("doc_id") + 4000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit("\n"), F.col("text")).alias("text"),
+            ),
+            docs.where(F.col("doc_id") % 10 == 5).select(
+                (F.col("doc_id") + 5000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" "), F.col("text")).alias("text"),
+            ),
+        ]
+        allp = docs
+        for pl in planted:
+            allp = allp.unionByName(pl)
+        return repetition_stats(allp).withColumnRenamed("id", "docid")
+    q["text_repetition"] = repetition
+
     return q
 
 
@@ -1776,5 +1803,90 @@ SELECT doc_id, 1::BIGINT, 'p',
        t || ' src ' || source,
        'root[0].html[1].body[1]'
 FROM d
+"""
+
+    sql["text_repetition"] = r"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+),
+f AS (
+  SELECT doc_id AS docid, t FROM base
+  UNION ALL SELECT doc_id + 4000000, t || chr(10) || t
+    FROM base WHERE doc_id % 10 = 4
+  UNION ALL SELECT doc_id + 5000000, t || ' ' || t
+    FROM base WHERE doc_id % 10 = 5
+),
+w AS (
+  SELECT docid, t,
+         CASE WHEN length(regexp_replace(trim(t), '\s+', ' ', 'g')) = 0 THEN []
+              ELSE string_split(regexp_replace(trim(t), '\s+', ' ', 'g'), ' ') END AS toks,
+         string_split(t, chr(10)) AS lines
+  FROM f
+),
+b AS (
+  SELECT docid,
+         length(array_to_string(toks, ' ')) AS canon_chars,
+         len(lines) AS n_lines,
+         coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS line_chars
+  FROM w
+),
+lc AS (
+  SELECT docid, line, count(*) AS c, length(line) AS ll
+  FROM (SELECT docid, unnest(lines) AS line FROM w)
+  GROUP BY docid, line, length(line)
+),
+ls AS (
+  SELECT docid,
+         sum(c) - count(*) AS n_dup_lines,
+         sum(CASE WHEN c > 1 THEN (c - 1) * ll ELSE 0 END) AS dup_line_chars
+  FROM lc GROUP BY docid
+),
+g2 AS (
+  SELECT docid, unnest(list_transform(range(1, len(toks)),
+         i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+  FROM w WHERE len(toks) >= 2
+),
+g2c AS (SELECT docid, g, count(*) AS c FROM g2 GROUP BY docid, g),
+top2 AS (
+  SELECT docid, c * length(g) AS chars FROM (
+    SELECT docid, g, c,
+           row_number() OVER (PARTITION BY docid ORDER BY c DESC, g DESC) AS rn
+    FROM g2c
+  ) WHERE rn = 1
+),
+g3 AS (
+  SELECT docid, unnest(list_transform(range(1, len(toks) - 1),
+         i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+  FROM w WHERE len(toks) >= 3
+),
+g3c AS (SELECT docid, g, count(*) AS c FROM g3 GROUP BY docid, g),
+top3 AS (
+  SELECT docid, c * length(g) AS chars FROM (
+    SELECT docid, g, c,
+           row_number() OVER (PARTITION BY docid ORDER BY c DESC, g DESC) AS rn
+    FROM g3c
+  ) WHERE rn = 1
+),
+g5 AS (
+  SELECT docid, unnest(list_transform(range(1, len(toks) - 3),
+         i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS g
+  FROM w WHERE len(toks) >= 5
+),
+g5c AS (SELECT docid, g, count(*) AS c FROM g5 GROUP BY docid, g),
+dup5 AS (
+  SELECT docid, sum((c - 1) * length(g)) AS chars FROM g5c WHERE c > 1
+  GROUP BY docid
+)
+SELECT b.docid,
+       round(coalesce(ls.n_dup_lines, 0) / greatest(b.n_lines, 1), 6) AS dup_line_fraction,
+       round(coalesce(ls.dup_line_chars, 0) / greatest(b.line_chars, 1), 6) AS dup_line_char_fraction,
+       round(coalesce(top2.chars, 0) / greatest(b.canon_chars, 1), 6) AS top_2gram_char_fraction,
+       round(coalesce(top3.chars, 0) / greatest(b.canon_chars, 1), 6) AS top_3gram_char_fraction,
+       round(coalesce(dup5.chars, 0) / greatest(b.canon_chars, 1), 6) AS dup_5gram_char_fraction
+FROM b
+LEFT JOIN ls ON ls.docid = b.docid
+LEFT JOIN top2 ON top2.docid = b.docid
+LEFT JOIN top3 ON top3.docid = b.docid
+LEFT JOIN dup5 ON dup5.docid = b.docid
 """
     return sql

@@ -375,3 +375,97 @@ def gopher_rules(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         r_dupline.alias("ok_dup_lines"),
         gopher_pass.alias("gopher_pass"),
     )
+
+
+def _repetition_counts_kernel():
+    """ONE Arrow pass for the Gopher repetition filters (Rae et al.
+    2021 §A1.1, table A1 'repetition' block): duplicate-line counts and
+    word n-gram repetition. Conventions (documented, SQL-replicable):
+
+      * dup-line char fraction counts every occurrence BEYOND the first
+        of each distinct line ((cnt-1) * len), over total line chars
+      * top-n-gram char fraction = occurrences * chars of the single
+        most frequent word n-gram (ties broken by lexicographically
+        LARGEST gram, matching ORDER BY cnt DESC, gram DESC), over
+        whitespace-canonical text chars
+      * dup-n-gram char fraction uses the same excess-occurrence
+        convention as lines (the paper's positional-coverage union is
+        not SQL-replicable; the excess approximation is standard)
+    """
+    import re
+    from collections import Counter
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ws_re = re.compile(r"[\t\n\f\r ]+")
+    fields = [
+        "n_lines", "n_dup_lines", "line_chars", "dup_line_chars",
+        "canon_chars", "top2_chars", "top3_chars", "dup5_chars",
+    ]
+    schema = StructType([StructField(f, LongType()) for f in fields])
+
+    @F.pandas_udf(schema)
+    def _counts(texts: pd.Series) -> pd.DataFrame:
+        def top_chars(toks, n):
+            if len(toks) < n:
+                return 0
+            cnt = Counter(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            c, g = max((c, g) for g, c in cnt.items())
+            return c * len(g)
+
+        def dup_chars(toks, n):
+            if len(toks) < n:
+                return 0
+            cnt = Counter(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            return sum((c - 1) * len(g) for g, c in cnt.items() if c > 1)
+
+        rows = []
+        for t in texts:
+            if t is None:
+                t = ""
+            canon = ws_re.sub(" ", t.strip(" "))
+            toks = canon.split(" ") if canon else []
+            lines = t.split("\n")
+            lcnt = Counter(lines)
+            rows.append(
+                (
+                    len(lines),
+                    len(lines) - len(lcnt),
+                    sum(map(len, lines)),
+                    sum((c - 1) * len(l) for l, c in lcnt.items() if c > 1),
+                    len(canon),
+                    top_chars(toks, 2),
+                    top_chars(toks, 3),
+                    dup_chars(toks, 5),
+                )
+            )
+        return pd.DataFrame(rows, columns=fields)
+
+    return _counts
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher repetition filter features per document: duplicate-line
+    fraction + char fraction, top-2/3-gram char fraction, duplicate
+    5-gram char fraction. One Arrow kernel, codegen division — a pure
+    map (no shuffle, no join) at any scale."""
+    kernel = _repetition_counts_kernel()
+    f = docs.select(F.col(id_col).alias("id"), kernel(F.col(text_col)).alias("f"))
+    c = f["f"]
+    lines = F.greatest(c["n_lines"], F.lit(1)).cast("double")
+    lchars = F.greatest(c["line_chars"], F.lit(1)).cast("double")
+    cchars = F.greatest(c["canon_chars"], F.lit(1)).cast("double")
+    return f.select(
+        "id",
+        F.round(c["n_dup_lines"] / lines, 6).alias("dup_line_fraction"),
+        F.round(c["dup_line_chars"] / lchars, 6).alias("dup_line_char_fraction"),
+        F.round(c["top2_chars"] / cchars, 6).alias("top_2gram_char_fraction"),
+        F.round(c["top3_chars"] / cchars, 6).alias("top_3gram_char_fraction"),
+        F.round(c["dup5_chars"] / cchars, 6).alias("dup_5gram_char_fraction"),
+    )

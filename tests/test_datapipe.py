@@ -343,3 +343,64 @@ class TestDuplicateParagraphs:
         # trim makes the padded/unpadded paragraphs identical; 'short' is
         # below min_len and never aggregated
         assert len(out) == 1 and out[0]["n_docs"] == 2
+
+
+class TestRepetitionStats:
+    def test_hand_computed(self, spark):
+        rows = [
+            # "a b a b": top 2-gram 'a b' x2 (3 chars), canon 7 chars;
+            # 3-grams 'a b a'/'b a b' tie -> lexicographically largest
+            # 'b a b' (5 chars, count 1)
+            (0, "a b a b"),
+            # two identical lines of 3 chars each
+            (1, "x y\nx y"),
+            # doubled 5-gram: "p q r s t p q r s t p q r s t" has
+            # dup 5-grams
+            (2, " ".join(["p q r s t"] * 3)),
+            (3, None),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        from orama_spark.datapipe.text_quality import repetition_stats
+
+        out = {r["id"]: r.asDict() for r in repetition_stats(docs).collect()}
+
+        assert out[0]["top_2gram_char_fraction"] == pytest.approx(2 * 3 / 7, abs=1e-6)
+        assert out[0]["top_3gram_char_fraction"] == pytest.approx(1 * 5 / 7, abs=1e-6)
+        assert out[0]["dup_line_fraction"] == 0.0
+
+        assert out[1]["dup_line_fraction"] == pytest.approx(0.5, abs=1e-6)
+        # one excess occurrence of 'x y' (3 chars) over 6 total line chars
+        assert out[1]["dup_line_char_fraction"] == pytest.approx(3 / 6, abs=1e-6)
+
+        # 15 tokens -> 11 5-grams; 'p q r s t p q r s t p q r s t':
+        # each distinct 5-gram window repeats; excess chars > 0
+        assert out[2]["dup_5gram_char_fraction"] > 0.5
+        assert out[3]["dup_line_fraction"] == 0.0  # null text -> 1 empty line
+
+    def test_python_oracle_parity(self, spark):
+        # brute-force Python recomputation on the fixture corpus slice
+        import re
+        from collections import Counter
+
+        texts = [
+            "the quick brown fox the quick brown fox",
+            "alpha beta\nalpha beta\ngamma",
+            "one two three four five six seven",
+        ]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        from orama_spark.datapipe.text_quality import repetition_stats
+
+        out = {r["id"]: r.asDict() for r in repetition_stats(docs).collect()}
+        ws = re.compile(r"[\t\n\f\r ]+")
+        for i, t in enumerate(texts):
+            canon = ws.sub(" ", t.strip(" "))
+            toks = canon.split(" ")
+            cnt2 = Counter(
+                " ".join(toks[j : j + 2]) for j in range(len(toks) - 1)
+            )
+            c, g = max((c, g) for g, c in cnt2.items())
+            assert out[i]["top_2gram_char_fraction"] == pytest.approx(
+                c * len(g) / len(canon), abs=1e-6
+            )
