@@ -968,6 +968,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return repetition_stats(allp).withColumnRenamed("id", "docid")
     q["text_repetition"] = repetition
 
+    # URL canonicalization + dedup-by-canonical-url. Construct URLs
+    # deterministically (case-variant scheme/host, default port,
+    # tracking params, fragment — alternating by doc parity so groups
+    # only form if EVERY normalization step fires), so the expected
+    # canonical form is directly expressible in the oracle SQL.
+    def url_dedup_q(spark, sf_dir):
+        from orama_spark.datapipe.urls import url_dedup
+
+        docs = _docs(spark, sf_dir).select("doc_id")
+        b = (F.col("doc_id") % 100).cast("string")
+        base = F.when(
+            F.col("doc_id") % 2 == 0, F.lit("HTTP://Example.COM:80")
+        ).otherwise(F.lit("http://EXAMPLE.com"))
+        urls = docs.select(
+            "doc_id",
+            F.concat(
+                base, F.lit("/p/"), b, F.lit("?utm_source=x&q="), b,
+                F.lit("#frag"),
+            ).alias("url"),
+        )
+        return url_dedup(urls)
+    q["url_dedup"] = url_dedup_q
+
+    # per-host histogram via the pure-Column host extraction (codegen)
+    def url_domains(spark, sf_dir):
+        from orama_spark.datapipe.urls import domain_stats
+
+        docs = _docs(spark, sf_dir)
+        urls = docs.select(
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/docs/"), F.col("doc_id").cast("string"),
+            ).alias("url")
+        )
+        return domain_stats(urls)
+    q["url_domain_stats"] = url_domains
+
     return q
 
 
@@ -1888,5 +1925,21 @@ LEFT JOIN ls ON ls.docid = b.docid
 LEFT JOIN top2 ON top2.docid = b.docid
 LEFT JOIN top3 ON top3.docid = b.docid
 LEFT JOIN dup5 ON dup5.docid = b.docid
+"""
+
+    sql["url_dedup"] = """
+WITH n AS (
+  SELECT doc_id,
+         'http://example.com/p/' || (doc_id % 100)
+           || '?q=' || (doc_id % 100) AS url_norm
+  FROM documents
+)
+SELECT url_norm, count(*) AS dup_count, min(doc_id) AS keep_doc_id
+FROM n GROUP BY url_norm HAVING count(*) > 1
+"""
+
+    sql["url_domain_stats"] = """
+SELECT lower(source) || '.example.com' AS host, count(*) AS n_docs
+FROM documents GROUP BY lower(source)
 """
     return sql

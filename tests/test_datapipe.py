@@ -404,3 +404,46 @@ class TestRepetitionStats:
             assert out[i]["top_2gram_char_fraction"] == pytest.approx(
                 c * len(g) / len(canon), abs=1e-6
             )
+
+
+class TestUrlOps:
+    def test_normalize_rules(self):
+        from orama_spark.datapipe.urls import normalize_url as nu
+
+        assert nu("HTTP://Example.COM:80/a?utm_source=x&q=1#f") == "http://example.com/a?q=1"
+        assert nu("https://Host.io:443/p") == "https://host.io/p"
+        assert nu("https://host.io:8443/p") == "https://host.io:8443/p"  # non-default kept
+        assert nu("http://h/p?gclid=1&fbclid=2&keep=3") == "http://h/p?keep=3"
+        assert nu("http://h/p?utm_a=1&utm_b=2") == "http://h/p"  # empty query -> no '?'
+        assert nu("http://u:pw@H.io/p") == "http://u:pw@h.io/p"  # userinfo preserved
+        assert nu("http://h/A/B") == "http://h/A/B"  # path case preserved
+        assert nu("http://h/p?b=2&a=1") == "http://h/p?b=2&a=1"  # order preserved
+        assert nu("") == ""
+        assert nu("not a url") == "not a url"
+
+    def test_dedup_and_domains(self, spark):
+        from orama_spark.datapipe.urls import domain_stats, url_dedup
+
+        rows = [
+            (0, "HTTP://A.com/x?utm_s=1"),
+            (1, "http://a.COM:80/x"),
+            (2, "http://a.com/y"),
+            (3, "https://b.org/x"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        groups = url_dedup(df).collect()
+        assert len(groups) == 1
+        assert groups[0]["url_norm"] == "http://a.com/x"
+        assert groups[0]["dup_count"] == 2 and groups[0]["keep_doc_id"] == 0
+
+        hosts = {r["host"]: r["n_docs"] for r in domain_stats(df).collect()}
+        assert hosts == {"a.com": 3, "b.org": 1}
+
+    def test_host_extraction_is_codegen(self, spark):
+        # host_col must stay a pure Column expression: no BatchEvalPython
+        # / ArrowEvalPython in the plan
+        from orama_spark.datapipe.urls import domain_stats
+
+        df = spark.createDataFrame([(0, "https://x.io/a")], "doc_id long, url string")
+        plan = domain_stats(df)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, plan
