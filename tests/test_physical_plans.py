@@ -95,3 +95,23 @@ def test_fuzzy_band_pushes_term_len_range(idx):
     plan = buf.getvalue()
     assert "GreaterThanOrEqual(term_len,4)" in plan
     assert "LessThanOrEqual(term_len,6)" in plan
+
+
+def test_datapipe_text_kernels_are_map_only(spark):
+    """gopher_rules / repetition_stats / parse_records_df must stay pure
+    maps: ONE Arrow kernel eval, no Exchange — the property that makes
+    them trivially scalable (they pipeline into the scan at any SF)."""
+    from orama_spark.datapipe.text_quality import gopher_rules, repetition_stats
+    from orama_spark.sources.parsedoc import parse_records_df
+
+    docs = spark.createDataFrame(
+        [(0, "some text body"), (1, "<p>x</p>")], "doc_id long, text string"
+    )
+    for df in (
+        gopher_rules(docs),
+        repetition_stats(docs),
+        parse_records_df(docs.withColumnRenamed("text", "html")),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1, plan
