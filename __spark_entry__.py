@@ -1005,6 +1005,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return domain_stats(urls)
     q["url_domain_stats"] = url_domains
 
+    # deterministic stratified sampling (corpus-mixing quotas): keep a
+    # per-language fraction by portable-FNV key bucket. Value-level
+    # oracle: the same codepoint FNV-1a exists as a DuckDB expression
+    # (portable_hash.sql_string_fnv), so the exact sampled row set is
+    # verified, not just its size.
+    def sample_stratified(spark, sf_dir):
+        from orama_spark.datapipe.sampling import stratified_sample
+
+        docs = _docs(spark, sf_dir).select("doc_id", "lang")
+        rates = {"en": 0.3, "de": 0.8, "fr": 0.5, "es": 0.1, "zh": 0.0}
+        return stratified_sample(docs, rates, strata_col="lang")
+    q["sample_stratified"] = sample_stratified
+
     return q
 
 
@@ -1941,5 +1954,26 @@ FROM n GROUP BY url_norm HAVING count(*) > 1
     sql["url_domain_stats"] = """
 SELECT lower(source) || '.example.com' AS host, count(*) AS n_docs
 FROM documents GROUP BY lower(source)
+"""
+
+    # stratified sampling: same portable codepoint FNV-1a as the Spark
+    # kernel (portable_hash), unsigned HUGEINT mod — bit-exact buckets
+    from orama_spark.datapipe.portable_hash import sql_fnv_reduce as _fnv_red
+
+    _k_codes = (
+        "list_transform(range(1, length(k) + 1), "
+        "j -> unicode(substr(k, j::INT, 1)))"
+    )
+    sql["sample_stratified"] = f"""
+WITH d AS (
+  SELECT doc_id, lang, CAST(doc_id AS VARCHAR) AS k FROM documents
+),
+b AS (
+  SELECT doc_id, lang, ({_fnv_red(_k_codes)}) % 1000000 AS bucket FROM d
+)
+SELECT doc_id, lang FROM b
+WHERE bucket < CASE lang
+  WHEN 'en' THEN 300000 WHEN 'de' THEN 800000 WHEN 'fr' THEN 500000
+  WHEN 'es' THEN 100000 ELSE 0 END
 """
     return sql

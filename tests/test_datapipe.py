@@ -447,3 +447,39 @@ class TestUrlOps:
         df = spark.createDataFrame([(0, "https://x.io/a")], "doc_id long, url string")
         plan = domain_stats(df)._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan, plan
+
+
+class TestDeterministicSampling:
+    def test_stable_under_partitioning(self, spark):
+        from orama_spark.datapipe.sampling import hash_sample
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"] for r in hash_sample(df, 0.25).collect()}
+        b = {r["doc_id"] for r in hash_sample(df.repartition(13), 0.25).collect()}
+        assert a == b and len(a) > 0
+
+    def test_nested_rates_are_subsets(self, spark):
+        # threshold sampling: the 10% sample is a subset of the 30% one
+        # (the property that makes downsampling reproducible)
+        from orama_spark.datapipe.sampling import hash_sample
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        s10 = {r["doc_id"] for r in hash_sample(df, 0.10).collect()}
+        s30 = {r["doc_id"] for r in hash_sample(df, 0.30).collect()}
+        assert s10 <= s30
+        assert abs(len(s30) / 2000 - 0.30) < 0.05
+
+    def test_stratified_rates(self, spark):
+        from orama_spark.datapipe.sampling import stratified_sample
+
+        df = spark.range(0, 3000).selectExpr(
+            "id AS doc_id",
+            "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' ELSE 'c' END AS s",
+        )
+        out = stratified_sample(df, {"a": 1.0, "b": 0.2, "c": 0.0}, "s")
+        counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+        ).collect()}
+        assert counts.get("a") == 1000
+        assert "c" not in counts
+        assert 120 < counts.get("b", 0) < 280
