@@ -1018,6 +1018,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return stratified_sample(docs, rates, strata_col="lang")
     q["sample_stratified"] = sample_stratified
 
+    # PII scrub. The fixture has no PII, so plant it inside the query
+    # (deterministic emails/ips/phones appended to a slice); output the
+    # per-type counts and md5 of the redacted text so the oracle checks
+    # the REDACTION itself at value level, not just the counts.
+    def pii_scrub(spark, sf_dir):
+        from orama_spark.datapipe.pii import pii_stats
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.coalesce("text", F.lit("")).alias("text")
+        )
+        d = F.col("doc_id").cast("string")
+        planted = docs.where(F.col("doc_id") % 10 == 7).select(
+            (F.col("doc_id") + 7000000).alias("doc_id"),
+            F.concat(
+                F.col("text"),
+                F.lit(" contact bob"), d, F.lit("@mail.example.com"),
+                F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 or call 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-"), F.lpad(d, 4, "0"),
+            ).alias("text"),
+        )
+        out = pii_stats(docs.unionByName(planted))
+        return out.select(
+            F.col("id").alias("docid"), "n_email", "n_ipv4", "n_phone",
+            "has_pii", F.md5("redacted").alias("redacted_md5"),
+        )
+    q["pii_scrub"] = pii_scrub
+
     return q
 
 
@@ -1975,5 +2004,40 @@ SELECT doc_id, lang FROM b
 WHERE bucket < CASE lang
   WHEN 'en' THEN 300000 WHEN 'de' THEN 800000 WHEN 'fr' THEN 500000
   WHEN 'es' THEN 100000 ELSE 0 END
+"""
+
+    # PII scrub: identical Java/RE2-portable patterns on both sides
+    from orama_spark.datapipe.pii import PII_PATTERNS as _PII
+
+    _pii_redact = "t"
+    for _, _pat, _repl in _PII:
+        _pii_redact = (
+            f"regexp_replace({_pii_redact}, '{_pat}', '{_repl}', 'g')"
+        )
+    _pii_counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in _PII
+    )
+    sql["pii_scrub"] = f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+),
+f AS (
+  SELECT doc_id AS docid, t FROM base
+  UNION ALL
+  SELECT doc_id + 7000000,
+         t || ' contact bob' || doc_id || '@mail.example.com from 10.0.'
+           || (doc_id % 256) || '.7 or call 555-'
+           || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+           || lpad(doc_id::VARCHAR, 4, '0')
+  FROM base WHERE doc_id % 10 = 7
+)
+SELECT docid, {_pii_counts},
+       (CASE WHEN len(regexp_extract_all(t, '{_PII[0][1]}'))
+                + len(regexp_extract_all(t, '{_PII[1][1]}'))
+                + len(regexp_extract_all(t, '{_PII[2][1]}')) > 0
+             THEN 1 ELSE 0 END)::BIGINT AS has_pii,
+       md5({_pii_redact}) AS redacted_md5
+FROM f
 """
     return sql

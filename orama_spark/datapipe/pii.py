@@ -1,0 +1,57 @@
+"""PII detection and redaction — the corpus-scrub stage every public
+pre-training pipeline runs (C4/Dolma-style): find and mask emails,
+IPv4 addresses, and NANP-style phone numbers.
+
+Patterns are deliberately restricted to the regex subset with identical
+semantics in Java regex (Spark codegen) and RE2 (DuckDB oracles): char
+classes, bounded repetition, \\b word boundaries — no lookarounds, no
+backrefs. Everything here is PURE Column expressions: detection is
+``regexp_count``, redaction is chained ``regexp_replace`` — whole-stage
+codegen, zero Python, map-only at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ordered: emails first (an email must not be half-eaten by the phone
+# pattern), then ips, then phones
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+
+PII_PATTERNS = [
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("ipv4", IPV4_RE, "<IP>"),
+    ("phone", PHONE_RE, "<PHONE>"),
+]
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-type match counts (codegen regexp_count)."""
+    return {
+        name: F.regexp_count(text, F.lit(pat)) for name, pat, _ in PII_PATTERNS
+    }
+
+
+def redact(text: Column) -> Column:
+    """Mask every PII span with its placeholder, in pattern order."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_email, n_ipv4, n_phone, has_pii, redacted) — map-only."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = pii_counts(t)
+    total = None
+    cols = [F.col(id_col).alias("id")]
+    for name, c in counts.items():
+        c = c.cast("long")
+        cols.append(c.alias(f"n_{name}"))
+        total = c if total is None else total + c
+    cols.append((total > 0).cast("long").alias("has_pii"))
+    cols.append(redact(t).alias("redacted"))
+    return docs.select(*cols)

@@ -483,3 +483,37 @@ class TestDeterministicSampling:
         assert counts.get("a") == 1000
         assert "c" not in counts
         assert 120 < counts.get("b", 0) < 280
+
+
+class TestPiiScrub:
+    def test_detection_and_redaction(self, spark):
+        from orama_spark.datapipe.pii import pii_stats
+
+        rows = [
+            (0, "mail a.b+c@x.co.uk and 192.168.0.1 call 555-123-4567"),
+            (1, "no pii here, just 1.2 version and a date 2024-01-02"),
+            (2, "two mails: a@b.io c@d.org; ip 10.0.0.300 is NOT valid? it still matches digits"),
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["id"]: r.asDict() for r in pii_stats(df).collect()}
+
+        assert (out[0]["n_email"], out[0]["n_ipv4"], out[0]["n_phone"]) == (1, 1, 1)
+        assert out[0]["redacted"] == "mail <EMAIL> and <IP> call <PHONE>"
+        assert out[0]["has_pii"] == 1
+
+        assert out[1]["has_pii"] == 0
+        assert out[1]["redacted"].startswith("no pii here")
+        # 2024-01-02 must NOT be eaten by the phone pattern (3-3-4 only)
+        assert "2024-01-02" in out[1]["redacted"]
+
+        assert out[2]["n_email"] == 2
+        assert out[3]["has_pii"] == 0 and out[3]["redacted"] == ""
+
+    def test_pure_codegen_plan(self, spark):
+        # detection + redaction must involve NO Python eval at all
+        from orama_spark.datapipe.pii import pii_stats
+
+        df = spark.createDataFrame([(0, "x@y.io")], "doc_id long, text string")
+        plan = pii_stats(df)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
