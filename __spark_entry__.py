@@ -1047,6 +1047,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["pii_scrub"] = pii_scrub
 
+    # crawl-hygiene blocklist: drop docs whose url host is blocked.
+    # Broadcast left-anti join — the doc side never shuffles.
+    def url_blocklist(spark, sf_dir):
+        from orama_spark.datapipe.urls import filter_blocked_hosts, host_col
+
+        docs = _docs(spark, sf_dir)
+        urls = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/docs/"), F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+        blocked = spark.createDataFrame(
+            [("src0.example.com",), ("src7.example.com",),
+             ("SRC13.EXAMPLE.COM",), ("not-a-source.example.com",)],
+            "host string",
+        )
+        kept = filter_blocked_hosts(urls, blocked)
+        return kept.select("doc_id", host_col(F.col("url")).alias("host"))
+    q["url_blocklist"] = url_blocklist
+
     return q
 
 
@@ -2039,5 +2061,12 @@ SELECT docid, {_pii_counts},
              THEN 1 ELSE 0 END)::BIGINT AS has_pii,
        md5({_pii_redact}) AS redacted_md5
 FROM f
+"""
+
+    sql["url_blocklist"] = """
+SELECT doc_id, lower(source) || '.example.com' AS host
+FROM documents
+WHERE lower(source) || '.example.com' NOT IN
+  ('src0.example.com', 'src7.example.com', 'src13.example.com')
 """
     return sql

@@ -116,3 +116,20 @@ def domain_stats(docs: DataFrame, url_col: str = "url") -> DataFrame:
         .groupBy("host")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def filter_blocked_hosts(
+    docs: DataFrame, blocklist: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Drop documents whose URL host is on a blocklist — the standard
+    crawl-hygiene stage. The blocklist (thousands-to-millions of hosts)
+    is tiny next to the corpus, so this is an explicit BROADCAST
+    left-anti join: the doc side never shuffles, the filter runs
+    map-side in every scan task (plan asserted in tests). ``blocklist``
+    must have a ``host`` column (lowercase)."""
+    hosts = blocklist.select(F.lower(F.col("host")).alias("host")).distinct()
+    return docs.join(
+        F.broadcast(hosts),
+        host_col(F.col(url_col)) == F.col("host"),
+        "left_anti",
+    )

@@ -517,3 +517,20 @@ class TestPiiScrub:
         df = spark.createDataFrame([(0, "x@y.io")], "doc_id long, text string")
         plan = pii_stats(df)._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+class TestBlocklist:
+    def test_filter_and_broadcast_plan(self, spark):
+        from orama_spark.datapipe.urls import filter_blocked_hosts
+
+        docs = spark.createDataFrame(
+            [(0, "https://Bad.com/x"), (1, "https://good.org/y"),
+             (2, "http://bad.com:80/z"), (3, "https://also-good.io/q")],
+            "doc_id long, url string",
+        )
+        blocked = spark.createDataFrame([("BAD.com",)], "host string")
+        kept = filter_blocked_hosts(docs, blocked)
+        assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+        assert "SortMergeJoin" not in plan, plan

@@ -51,3 +51,40 @@ def test_stream_matches_batch_build(spark, tmp_path):
         for (gi, gs), (wi, ws) in zip(got, want):
             assert gs == pytest.approx(ws, rel=1e-9)
     assert s_idx.stats["docs_count"] == len(ROWS)
+
+
+def test_map_only_datapipe_ops_stream_equals_batch(spark, tmp_path):
+    """The map-only datapipe operators (pii_stats, gopher_rules,
+    repetition_stats) are stateless transforms, so they must run
+    unchanged on a readStream source and produce exactly the batch
+    result — the property that lets the same scrub/filter code serve
+    both the backfill and the live ingest path."""
+    from orama_spark.datapipe.pii import pii_stats
+    from orama_spark.datapipe.text_quality import gopher_rules
+
+    rows = [
+        {"doc_id": 0, "text": "mail me at a@b.io or 10.1.2.3"},
+        {"doc_id": 1, "text": "the quick brown fox " * 20},
+        {"doc_id": 2, "text": ""},
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    for op in (pii_stats, gopher_rules):
+        stream_in = spark.readStream.schema(schema).parquet(src)
+        out_dir = str(tmp_path / f"out_{op.__name__}")
+        q = (
+            op(stream_in)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / f"ck_{op.__name__}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            tuple(r) for r in spark.read.parquet(out_dir).collect()
+        }
+        want = {tuple(r) for r in op(spark.createDataFrame(rows)).collect()}
+        assert got == want, op.__name__
