@@ -129,6 +129,9 @@ SQL_SPLIT = "[^a-zàèéìòóù0-9_''-]+"
 
 PREFIX_COND = "tok.term LIKE qt.qtoken || '%'"
 
+# batched-search driver query: 3 default-mode queries in one scan
+BATCH_TERMS = ["spark", "merge stream", "sca"]
+
 _INDEX_CACHE: dict[str, SearchIndex] = {}
 
 # string[] searchable-field index: tags = [lang, source] per doc —
@@ -1068,6 +1071,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kept = filter_blocked_hosts(urls, blocked)
         return kept.select("doc_id", host_col(F.col("url")).alias("host"))
     q["url_blocklist"] = url_blocklist
+
+    # batched top-k: 3 queries answered by ONE postings scan
+    # (broadcast (qid, qtoken) frame + union-literal pushdown + one
+    # per-qid window) — rank/score-identical with per-query search()
+    def flt_batch(spark, sf_dir):
+        idx = _get_index(spark, sf_dir)
+        return idx.search_many(BATCH_TERMS, k=10).select(
+            "qid", "docid", F.round("score", 6).alias("score")
+        )
+    q["flt_batch"] = flt_batch
 
     return q
 
@@ -2069,4 +2082,11 @@ FROM documents
 WHERE lower(source) || '.example.com' NOT IN
   ('src0.example.com', 'src7.example.com', 'src13.example.com')
 """
+
+    # batched top-k: per-query oracle = the single-query top-k SQL,
+    # tagged with its qid
+    sql["flt_batch"] = "\nUNION ALL\n".join(
+        f"SELECT {qid} AS qid, * FROM ({_sql_topk(t, cond=PREFIX_COND)})"
+        for qid, t in enumerate(BATCH_TERMS)
+    )
     return sql

@@ -386,6 +386,71 @@ class SearchIndex:
             result = cfg.hooks.run_transform("after_search", result, self)
         return result
 
+    def search_many(
+        self,
+        terms: list[str],
+        k: int = 10,
+        exact: bool = False,
+        properties: Optional[list[str]] = None,
+    ) -> DataFrame:
+        """Batched top-k: N queries answered by ONE postings scan.
+
+        At web scale the scan dominates query cost; issuing queries
+        one-per-job re-reads the same row groups N times. Here the
+        query batch becomes a broadcast (qid, qtoken) frame joined
+        against the pruned dictionary, the postings scan is pre-filtered
+        with the UNION of all queries' literal predicates (still
+        row-group-prunable), and per-query top-k is one window over the
+        (qid, docid) scores. Rank- and score-identical with N separate
+        ``search()`` calls in the default mode (prefix, threshold=1,
+        no filters) — pinned in tests. ``exact=True`` matches the
+        tokenized-exact find; the reference's case-sensitive exact
+        POST-filter (issue #866, ``search(exact=True)``) is a per-query
+        doc-store pass and is not applied here.
+
+        Returns (qid, docid, score, rank), rank 1..k per qid.
+        """
+        cfg = self.config
+        searchable = cfg.searchable_fields
+        props = searchable
+        if properties is not None:
+            props = [p for p in searchable if p in properties]
+        qtok_rows = []
+        for qid, term in enumerate(terms):
+            for t in self.tokenizer.tokenize(term):
+                qtok_rows.append((qid, t))
+        if not qtok_rows:
+            return self._empty_scored().select(
+                F.lit(0).alias("qid"), "docid", "score",
+                F.lit(0).alias("rank"),
+            ).where(F.lit(False))
+        qdf = F.broadcast(
+            self.spark.createDataFrame(qtok_rows, "qid int, qtoken string")
+        )
+        d = self.dictionary.where(F.col("field").isin(props))
+        cond = (
+            (F.col("term") == F.col("qtoken"))
+            if exact
+            else F.col("term").startswith(F.col("qtoken"))
+        )
+        exp = d.join(qdf, cond).select("field", "term", "df", "qid")
+        all_toks = sorted({t for _, t in qtok_rows})
+        p = self._postings_pushdown(all_toks, props, exact)
+        joined = p.join(exp, ["field", "term"])
+        score_row = self._bm25_col(props, {})
+        per_field = (
+            joined.select("qid", "docid", "field", score_row.alias("s"))
+            .groupBy("qid", "docid", "field")
+            .agg(F.sum("s").alias("s"))
+        )
+        scored = per_field.groupBy("qid", "docid").agg(
+            F.sum("s").alias("score")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return scored.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= k
+        )
+
     def _geo_only(self, where: dict) -> Optional[DataFrame]:
         """Geosearch-only query -> distance-ranked scores
         (isGeosearchOnlyQuery + searchByGeoWhereClause,
