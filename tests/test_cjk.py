@@ -120,3 +120,53 @@ class TestSparkParity:
         for r, h in zip(rows, ores["hits"]):
             assert r["score"] == pytest.approx(h["score"], rel=1e-9)
         assert [JA_DOCS[r["docid"] - 1] for r in rows] == expected
+
+
+class TestSegmenterProperties:
+    """Property-based hardening (hypothesis): the segmenter must never
+    crash, never emit empty tokens, and preserve the word-like
+    character stream in order."""
+
+    def test_properties(self):
+        from hypothesis import given, settings, strategies as st
+
+        from orama_spark.kernel.cjk import _cls, segment_bigram
+
+        mixed = st.text(
+            alphabet=st.one_of(
+                st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+                st.characters(min_codepoint=0x3040, max_codepoint=0x30FF),
+                st.characters(min_codepoint=0x4E00, max_codepoint=0x4FFF),
+                st.characters(min_codepoint=0xAC00, max_codepoint=0xACFF),
+            ),
+            max_size=60,
+        )
+
+        @given(mixed)
+        @settings(max_examples=300, deadline=None)
+        def check(text):
+            toks = segment_bigram(text)
+            assert all(toks), "no empty tokens"
+            # non-han tokens appear verbatim in the input; han bigrams
+            # are 1-2 chars of adjacent input han chars
+            for t in toks:
+                if _cls(t[0]) == "han":
+                    assert 1 <= len(t) <= 2 and t in text
+                else:
+                    assert t in text
+            # every emitted character is word-like (punctuation and
+            # whitespace never leak into tokens)
+            for t in toks:
+                for ch in t:
+                    assert _cls(ch) is not None
+
+        check()
+
+    def test_tokenizer_never_crashes_on_weird_input(self):
+        from orama_spark.kernel.tokenizer import Tokenizer
+        from orama_spark.kernel import TokenizerConfig
+
+        tok = Tokenizer(TokenizerConfig(language="mandarin"))
+        for s in ["", " ", "\x00", "á", "🦀🦀", "￿", "ー", "々"]:
+            out = tok.tokenize(s)
+            assert isinstance(out, list)
