@@ -155,6 +155,14 @@ def main() -> None:
         lambda: bidx.wand_topk("search engine index", k=10).collect()
     )
     extras["wand_pruning"] = bidx.pruning_stats("search engine index", k=10)
+    # second query shape (mid-frequency terms) so pruning evidence is
+    # not a single-query artifact
+    timings["web_q_wand2"] = timed_min(
+        lambda: bidx.wand_topk("distributed computing analysis", k=10).collect()
+    )
+    extras["wand_pruning_2"] = bidx.pruning_stats(
+        "distributed computing analysis", k=10
+    )
     bstats = bidx.blocks.agg(
         F.sum("n").alias("postings"),
         (F.sum(F.length("docid_deltas")) + F.sum(F.length("field_lens"))).alias("bytes"),
