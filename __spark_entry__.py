@@ -1082,6 +1082,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["flt_batch"] = flt_batch
 
+    # benchmark decontamination: train/eval 8-gram overlap. The eval
+    # set is constructed INSIDE the query (full-copy slice + a
+    # first-20-tokens prefix slice), so contamination pairs exist by
+    # construction and the oracle can rebuild the identical eval set.
+    def decontaminate(spark, sf_dir):
+        from orama_spark.datapipe.dedup import ngram_contamination
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        toks = F.split(F.regexp_replace(F.trim("text"), r"\s+", " "), " ")
+        eval_a = docs.where(F.col("doc_id") % 25 == 0).select(
+            F.col("doc_id").alias("eval_id"), "text"
+        )
+        eval_b = docs.where(F.col("doc_id") % 25 == 10).select(
+            (F.col("doc_id") + 100000).alias("eval_id"),
+            F.concat_ws(" ", F.slice(toks, 1, 20)).alias("text"),
+        )
+        return ngram_contamination(docs, eval_a.unionByName(eval_b), n=8)
+    q["decontaminate"] = decontaminate
+
     return q
 
 
@@ -2089,4 +2108,35 @@ WHERE lower(source) || '.example.com' NOT IN
         f"SELECT {qid} AS qid, * FROM ({_sql_topk(t, cond=PREFIX_COND)})"
         for qid, t in enumerate(BATCH_TERMS)
     )
+
+    sql["decontaminate"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+tsh0 AS (
+  SELECT doc_id AS train_doc_id,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+                i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS shingle
+  FROM t WHERE len(toks) >= 8
+),
+keep AS (SELECT shingle FROM tsh0 GROUP BY shingle HAVING count(*) <= 500),
+tsh AS (SELECT train_doc_id, shingle FROM tsh0 JOIN keep USING (shingle)),
+e AS (
+  SELECT doc_id AS eval_doc_id, toks FROM t WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id + 100000, list_slice(toks, 1, 20) FROM t WHERE doc_id % 25 = 10
+),
+esh AS (
+  SELECT eval_doc_id,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+                i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS shingle
+  FROM e WHERE len(toks) >= 8
+)
+SELECT train_doc_id, eval_doc_id, count(*) AS n_shared_ngrams
+FROM tsh JOIN esh USING (shingle)
+GROUP BY train_doc_id, eval_doc_id
+HAVING count(*) >= 1
+"""
     return sql

@@ -488,3 +488,50 @@ def duplicate_paragraphs(
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    evals: DataFrame,
+    text_col: str = "text",
+    train_id: str = "doc_id",
+    eval_id: str = "eval_id",
+    n: int = 8,
+    min_shared: int = 1,
+    max_shingle_df: int | None = 500,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION: which training documents share long
+    word n-grams with an evaluation set (the GPT-3/PaLM-style 8-13-gram
+    overlap check run before every serious pre-training job).
+
+    Cross-table variant of the shingle join: distinct n-grams of both
+    sides equi-join on the gram — the eval side is tiny next to the
+    corpus, so the join broadcasts it; the train side never shuffles.
+    ``max_shingle_df`` drops boilerplate grams from the TRAIN side
+    first (same quadratic guard as ``ngram_jaccard_pairs``).
+
+    Returns (train_doc_id, eval_doc_id, n_shared_ngrams) for pairs with
+    at least ``min_shared`` shared distinct n-grams.
+    """
+    t_sh = train.select(
+        F.col(train_id).alias("train_doc_id"),
+        F.explode(token_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    if max_shingle_df is not None:
+        keep = (
+            t_sh.groupBy("shingle")
+            .agg(F.count("*").alias("sdf"))
+            .where(F.col("sdf") <= max_shingle_df)
+            .select("shingle")
+        )
+        t_sh = t_sh.join(keep, "shingle", "left_semi")
+    e_sh = evals.select(
+        F.col(eval_id).alias("eval_doc_id"),
+        F.explode(token_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    return (
+        t_sh.join(F.broadcast(e_sh), "shingle")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+        .where(F.col("n_shared_ngrams") >= min_shared)
+    )

@@ -534,3 +534,45 @@ class TestBlocklist:
         plan = kept._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
         assert "SortMergeJoin" not in plan, plan
+
+
+class TestDecontamination:
+    def test_train_eval_overlap(self, spark):
+        from orama_spark.datapipe.dedup import ngram_contamination
+
+        w = lambda k, n: " ".join(f"{k}{i}" for i in range(n))
+        train = spark.createDataFrame(
+            [
+                (0, w("a", 12)),           # source of eval 100's text
+                (1, w("b", 12)),           # clean
+                (2, w("a", 12)),           # identical to 0 -> also flagged
+            ],
+            "doc_id long, text string",
+        )
+        evals = spark.createDataFrame(
+            [(100, w("a", 12)), (101, w("z", 12))],
+            "eval_id long, text string",
+        )
+        out = {
+            (r["train_doc_id"], r["eval_doc_id"]): r["n_shared_ngrams"]
+            for r in ngram_contamination(train, evals, n=8).collect()
+        }
+        # 12 tokens -> 5 distinct 8-grams, all shared with eval 100
+        assert out == {(0, 100): 5, (2, 100): 5}
+
+    def test_broadcast_eval_side(self, spark):
+        from orama_spark.datapipe.dedup import ngram_contamination
+
+        train = spark.createDataFrame(
+            [(0, " ".join(f"t{i}" for i in range(30)))],
+            "doc_id long, text string",
+        )
+        evals = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(10)))],
+            "eval_id long, text string",
+        )
+        plan = (
+            ngram_contamination(train, evals, n=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan, plan
