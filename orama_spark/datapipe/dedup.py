@@ -517,6 +517,19 @@ def ngram_contamination(
         F.col(train_id).alias("train_doc_id"),
         F.explode(token_shingles(F.col(text_col), n)).alias("shingle"),
     )
+    e_sh = evals.select(
+        F.col(eval_id).alias("eval_doc_id"),
+        F.explode(token_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    # only eval-present grams can form pairs, so restrict the train
+    # side FIRST (map-side broadcast semi-join) and apply the df cap to
+    # that small subset — a gram's train-df is unchanged by the
+    # per-gram restriction, so the cap semantics are identical, but the
+    # full-corpus gram aggregation never happens (the step that would
+    # dominate at 100 TB).
+    t_sh = t_sh.join(
+        F.broadcast(e_sh.select("shingle").distinct()), "shingle", "left_semi"
+    )
     if max_shingle_df is not None:
         keep = (
             t_sh.groupBy("shingle")
@@ -524,11 +537,7 @@ def ngram_contamination(
             .where(F.col("sdf") <= max_shingle_df)
             .select("shingle")
         )
-        t_sh = t_sh.join(keep, "shingle", "left_semi")
-    e_sh = evals.select(
-        F.col(eval_id).alias("eval_doc_id"),
-        F.explode(token_shingles(F.col(text_col), n)).alias("shingle"),
-    )
+        t_sh = t_sh.join(F.broadcast(keep), "shingle", "left_semi")
     return (
         t_sh.join(F.broadcast(e_sh), "shingle")
         .groupBy("train_doc_id", "eval_doc_id")
