@@ -44,8 +44,9 @@ def fnv1a64(text: str) -> int:
     """Whole-string FNV-1a as signed int64."""
     h = np.uint64(FNV_OFFSET)
     pr = np.uint64(FNV_PRIME)
-    for c in codepoints(text):
-        h = (h ^ c) * pr
+    with np.errstate(over="ignore"):  # uint64 wraparound is the algorithm
+        for c in codepoints(text):
+            h = (h ^ c) * pr
     return int(h.view(np.int64)) if np.isscalar(h) else int(np.int64(h))
 
 
