@@ -2,11 +2,13 @@
 columns with typed metadata.
 
 The Spark-side contract (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested; the actual media decoding is STUBBED —
-image/audio libraries are not available in this environment, so the
-decode kernels either raise NotImplementedError (strict mode) or apply a
-deterministic fake decode (test mode). Swapping in PIL/ffmpeg later
-changes only the inner kernel function, not the Spark plumbing.
+signatures) is real and tested. Image decoding is REAL pure numpy for
+the uncompressed formats (P6 PPM, 24-bit BMP — ``decode_image``);
+compressed formats (JPEG/PNG) and audio/video decoding remain stubbed
+because no codec library ships in this environment: those payloads
+raise NotImplementedError (strict mode) or get a deterministic fake
+profile (test mode). Swapping in PIL/ffmpeg later changes only the
+inner kernel function, not the Spark plumbing.
 
 Layout guidance for 100 TB of media: binary payloads dominate row size,
 so ops that don't touch bytes must never scan them — every function
@@ -49,16 +51,111 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def _decode_image_stub(payload: bytes, strict: bool) -> np.ndarray:
-    """STUB decode: no imaging libs in this environment.
+def decode_ppm(b: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval<=255) -> (H, W, 3) uint8. Pure numpy —
+    no imaging library involved."""
+    if not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    pos += 1  # single whitespace after maxval
+    return (
+        np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
+    )
 
-    strict=True  -> NotImplementedError (production placeholder)
-    strict=False -> deterministic fake: bytes -> fixed 8-dim profile
+
+def decode_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER) -> (H, W, 3) uint8
+    RGB. Pure numpy: offset/width/height from the header, 4-byte row
+    padding, BGR->RGB, bottom-up row order."""
+    if not b.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    flip = h > 0
+    h = abs(h)
+    row = ((w * 3 + 3) // 4) * 4
+    px = np.frombuffer(b, dtype=np.uint8, count=row * h, offset=off).reshape(
+        h, row
+    )[:, : w * 3].reshape(h, w, 3)[..., ::-1]
+    return (px[::-1] if flip else px).copy()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> binary P6 PPM bytes (test/synthesis helper)."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_image(payload: bytes) -> np.ndarray | None:
+    """Sniff + decode the natively-supported uncompressed formats
+    (P6 PPM, 24-bit BMP); None for anything else (JPEG/PNG/... need a
+    codec library that does not ship here)."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(b"BM"):
+        try:
+            return decode_bmp(payload)
+        except ValueError:
+            return None
+    return None
+
+
+def _image_profile(arr: np.ndarray) -> np.ndarray:
+    """Deterministic 8-dim profile of a decoded image: dims + channel
+    means + gray stats, all scaled to ~[0, 1] except dims."""
+    gray = arr.astype(np.float32).mean(axis=2)
+    return np.array(
+        [
+            float(arr.shape[0]),
+            float(arr.shape[1]),
+            float(arr[..., 0].mean()) / 255.0,
+            float(arr[..., 1].mean()) / 255.0,
+            float(arr[..., 2].mean()) / 255.0,
+            float(gray.std()) / 255.0,
+            float(gray.min()) / 255.0,
+            float(gray.max()) / 255.0,
+        ],
+        dtype=np.float32,
+    )
+
+
+def _decode_image_stub(payload: bytes, strict: bool) -> np.ndarray:
+    """Decode kernel: REAL pure-numpy decode for uncompressed formats
+    (P6 PPM, 24-bit BMP); compressed formats (JPEG/PNG/...) remain
+    stubbed because no codec library ships in this environment.
+
+    strict=True  -> NotImplementedError for undecodable payloads
+    strict=False -> deterministic fake profile for undecodable payloads
     """
+    arr = decode_image(payload or b"")
+    if arr is not None:
+        return _image_profile(arr)
     if strict:
         raise NotImplementedError(
-            "image decode requires an imaging library (e.g. PIL); "
-            "install and replace _decode_image_stub"
+            "compressed image formats require a codec library (e.g. "
+            "PIL); uncompressed BMP/PPM decode natively — see "
+            "decode_image"
         )
     h = hashlib.sha256(payload or b"").digest()
     return (np.frombuffer(h[:32], dtype=np.uint8)[:8].astype(np.float32) / 255.0)

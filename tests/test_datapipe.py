@@ -576,3 +576,63 @@ class TestDecontamination:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan, plan
+
+
+class TestRealImageDecode:
+    def test_ppm_round_trip(self):
+        rng = np.random.RandomState(3)
+        arr = rng.randint(0, 256, (5, 7, 3)).astype(np.uint8)
+        out = multimodal.decode_ppm(multimodal.encode_ppm(arr))
+        assert (out == arr).all()
+        # comments + multi-whitespace header
+        hdr = b"P6\n# a comment\n7   5\n# more\n255\n" + arr.tobytes()
+        assert (multimodal.decode_ppm(hdr) == arr).all()
+
+    def test_bmp_decode(self):
+        # hand-build a 3x2 24-bit bottom-up BMP with row padding
+        w, h = 3, 2
+        arr = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+        row = ((w * 3 + 3) // 4) * 4
+        px = bytearray()
+        for y in range(h - 1, -1, -1):          # bottom-up
+            line = bytearray()
+            for x in range(w):
+                r, g, b = arr[y, x]
+                line += bytes([b, g, r])        # BGR
+            line += b"\x00" * (row - len(line))
+            px += line
+        off = 54
+        header = (
+            b"BM" + (off + len(px)).to_bytes(4, "little") + b"\x00" * 4
+            + off.to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little") + len(px).to_bytes(4, "little")
+            + b"\x00" * 16
+        )
+        out = multimodal.decode_bmp(bytes(header) + bytes(px))
+        assert (out == arr).all()
+
+    def test_extract_features_real_decode(self, spark):
+        # uniform-gray PPM -> known profile; strict mode must NOT raise
+        arr = np.full((4, 6, 3), 128, dtype=np.uint8)
+        rows = [
+            {"media_id": 0, "kind": "image", "mime": "image/x-portable-pixmap",
+             "payload": multimodal.encode_ppm(arr), "width": 6, "height": 4,
+             "duration_ms": None},
+        ]
+        df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+        out = multimodal.extract_features(df, strict=True).collect()
+        f = out[0]["feature"]
+        assert f[0] == 4.0 and f[1] == 6.0
+        assert abs(f[2] - 128 / 255) < 1e-6 and abs(f[5]) < 1e-6  # flat image
+        # compressed formats still refuse in strict mode
+        bad = [{"media_id": 1, "kind": "image", "mime": "image/jpeg",
+                "payload": b"\xff\xd8\xff\xe0 fake jpeg", "width": 1,
+                "height": 1, "duration_ms": None}]
+        with pytest.raises(Exception):
+            multimodal.extract_features(
+                spark.createDataFrame(bad, schema=multimodal.MEDIA_SCHEMA),
+                strict=True,
+            ).collect()
