@@ -2,13 +2,14 @@
 columns with typed metadata.
 
 The Spark-side contract (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested. Image decoding is REAL pure numpy for
-the uncompressed formats (P6 PPM, 24-bit BMP — ``decode_image``);
-compressed formats (JPEG/PNG) and audio/video decoding remain stubbed
-because no codec library ships in this environment: those payloads
-raise NotImplementedError (strict mode) or get a deterministic fake
-profile (test mode). Swapping in PIL/ffmpeg later changes only the
-inner kernel function, not the Spark plumbing.
+signatures) is real and tested. Decoding is REAL for the formats that
+need no codec library: uncompressed images (P6 PPM, 24-bit BMP —
+``decode_image``, pure numpy) and PCM WAV audio (``decode_wav``,
+stdlib ``wave`` + numpy). Compressed formats (JPEG/PNG/MP3/...) and
+video remain stubbed: those payloads raise NotImplementedError
+(strict mode) or yield deterministic fake/NULL features (test mode).
+Swapping in PIL/ffmpeg later changes only the inner kernel function,
+not the Spark plumbing.
 
 Layout guidance for 100 TB of media: binary payloads dominate row size,
 so ops that don't touch bytes must never scan them — every function
@@ -248,3 +249,85 @@ def synth_media_df(spark, n_rows: int = 64, seed: int = 5) -> DataFrame:
             }
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("rms", FloatType(), True),
+        StructField("zero_crossing_rate", FloatType(), True),
+        StructField("peak", FloatType(), True),
+    ]
+)
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """PCM WAV -> (sample_rate, n_channels, float32 samples in [-1, 1],
+    channel-averaged). Stdlib ``wave`` + numpy — no codec library.
+    Raises on non-PCM / compressed WAV."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        sw = w.getsampwidth()
+        if sw not in (1, 2, 4):
+            raise ValueError(f"unsupported sample width {sw}")
+        raw = w.readframes(w.getnframes())
+        rate, ch = w.getframerate(), w.getnchannels()
+    if sw == 1:  # unsigned 8-bit
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        dt = np.int16 if sw == 2 else np.int32
+        x = np.frombuffer(raw, dtype=dt).astype(np.float32) / float(
+            2 ** (8 * sw - 1)
+        )
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return rate, ch, x
+
+
+def extract_audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """mapInPandas audio features over PCM-WAV payloads: sample rate,
+    duration, RMS, zero-crossing rate, peak. Undecodable payloads
+    (MP3/AAC/... — codec libs absent) raise in strict mode, else yield
+    NULL features. Map-only; payload bytes move once through Arrow."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    rate, ch, x = decode_wav(b)
+                except Exception:
+                    if strict:
+                        raise NotImplementedError(
+                            "compressed audio needs a codec library; "
+                            "PCM WAV decodes natively — see decode_wav"
+                        )
+                    out.append((mid, None, None, None, None, None, None, None))
+                    continue
+                n = int(x.shape[0])
+                zc = (
+                    float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    / max(n - 1, 1)
+                )
+                out.append(
+                    (
+                        mid, int(rate), int(ch), n,
+                        int(round(1000.0 * n / rate)) if rate else None,
+                        float(np.sqrt(np.mean(x * x))) if n else 0.0,
+                        zc,
+                        float(np.abs(x).max()) if n else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, AUDIO_FEATURE_SCHEMA
+    )
