@@ -819,6 +819,51 @@ class SearchIndex:
             .drop("__rn")
         )
 
+    def sorted_hits_by_key_df(
+        self, result: SearchResult, key, order: str = "ASC",
+        offset: int = 0, limit: int = 10, key_type: str = "double",
+    ) -> DataFrame:
+        """sortBy custom sorter (types.ts:260-265 ``sortBy: (a, b) =>
+        number``).
+
+        The reference accepts an arbitrary JS COMPARATOR — inherently
+        sequential (pairwise calls on one node), which cannot
+        distribute. The Spark-idiomatic equivalent surface is a SORT
+        KEY: either a ``Column`` expression (codegen) or a vectorized
+        Python function ``pandas.DataFrame -> pandas.Series`` over the
+        hit rows (Arrow-batched). Any deterministic total order a
+        comparator induces via a key is expressible this way. NULL keys
+        sort last regardless of direction (the reference's
+        missing-property rule); ties break on docid.
+        """
+        docid = self.config.docid_col
+        m = result.scored.join(
+            self.docs.withColumnRenamed(docid, "docid"), "docid"
+        )
+        if callable(key):
+            cols = list(m.columns)
+
+            @F.pandas_udf(key_type)
+            def _key(batch: pd.DataFrame) -> pd.Series:
+                return key(batch)
+
+            key_col = _key(F.struct(*[F.col(c) for c in cols]))
+        else:
+            key_col = key
+        m = m.withColumn("__key", key_col)
+        desc = str(order).upper() == "DESC"
+        keys = [F.col("__key").isNull().asc()]
+        if desc:
+            keys += [F.col("__key").desc(), F.col("docid").desc()]
+        else:
+            keys += [F.col("__key").asc(), F.col("docid").asc()]
+        w = Window.orderBy(*keys)
+        return (
+            m.withColumn("__rn", F.row_number().over(w))
+            .where((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
+            .drop("__rn", "__key")
+        )
+
 
 def _fuzzy_udf(token: str, tolerance: int):
     @F.pandas_udf(BooleanType())
