@@ -146,9 +146,17 @@ def main() -> None:
 
     from orama_spark.query.wand import BlockIndex
 
-    t0 = time.time()
-    bidx = BlockIndex.build(spark, web_dir, web_cfg)
-    timings["blocks_build"] = round(time.time() - t0, 3)
+    # blocks_build is rebuildable (pure overwrite of blocks/+champions/),
+    # so unlike the one-shot index builds it gets the same min-of-reps
+    # treatment as queries — round 3's single-rep number (40.7 s vs
+    # 16.3+4.3 s standalone) was burst-dominated on this VM.
+    best = float("inf")
+    for _ in range(max(2, min(REPS, 3))):
+        t0 = time.time()
+        bidx = BlockIndex.build(spark, web_dir, web_cfg)
+        best = min(best, time.time() - t0)
+    timings["blocks_build"] = round(best, 3)
+    extras["blocks_build_protocol"] = "min of >=2 full rebuilds"
     timings["web_q_wand"] = timed_min(
         lambda: bidx.wand_topk("search engine index", k=10).collect()
     )
@@ -178,7 +186,14 @@ def main() -> None:
         "sf": SF_DIR,
         "extra": extras,
     }
-    print(json.dumps(out))
+    # the driver captures a bounded stdout tail; round 3's record lost
+    # the head of this (single, large) JSON line. Persist it to a file
+    # first, then print — the file is the authoritative artifact.
+    line = json.dumps(out)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_out.json"), "w") as f:
+        f.write(line + "\n")
+    print(line)
     spark.stop()
 
 

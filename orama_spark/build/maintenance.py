@@ -291,21 +291,29 @@ def insert_documents(
         # the field still advance it): fold sequentially from the stored
         # average. Bounded by the user's insert batch (lengths only
         # cross the driver), like the reference's own per-doc loop.
-        order = F.col("docid").asc()
+        # The reference folds in the insert BATCH's encounter order, not
+        # docid order — replay in the caller's row order (partition
+        # index + in-partition position via monotonically_increasing_id
+        # over the persisted frame), so stats match the reference even
+        # when insertion order differs from docid sort order.
+        enc = {
+            r["docid"]: r["_ord"]
+            for r in tokenized.select(
+                "docid", F.monotonically_increasing_id().alias("_ord")
+            ).collect()
+        }
         for f_ in arr_fields:
             c_ = F.col(_tok_col(f_))
             rows = (
                 tokenized.select("docid", F.posexplode(c_).alias("pos", "etoks"))
                 .select("docid", "pos", F.size("etoks").alias("len"))
-                .orderBy("docid", "pos")
                 .collect()
             )
+            rows.sort(key=lambda r: (enc[r["docid"]], r["pos"]))
             arr_rows[f_] = rows
         id_rank = {
-            r["docid"]: i + 1
-            for i, r in enumerate(
-                tokenized.select("docid").orderBy(order).collect()
-            )
+            d: i + 1
+            for i, d in enumerate(sorted(enc, key=enc.get))
         }
     for field, info in stats["fields"].items():
         s, c = fl_sums.get(field, (0, 0))
@@ -396,3 +404,17 @@ def compact(spark: SparkSession, index_dir: str, config: IndexConfig) -> None:
     for p in (tomb_path, delta_path):
         if os.path.exists(p):
             shutil.rmtree(p)
+    # block-max WAND metadata (blocks/, champions/) embeds the
+    # PRE-compact (df, avgfl, N): once the tombstone markers above are
+    # gone, BlockIndex.load()'s staleness check would pass and silently
+    # serve bounds/θ computed for the old corpus — a stale θ can exceed
+    # the true k-th score and drop true top-k hits. Delete the derived
+    # dirs (and their build stamp) so load() refuses until
+    # BlockIndex.build() re-runs.
+    for derived in ("blocks", "champions"):
+        p = os.path.join(index_dir, derived)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    stamp = os.path.join(index_dir, "blocks_build.json")
+    if os.path.exists(stamp):
+        os.remove(stamp)

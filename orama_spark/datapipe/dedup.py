@@ -41,20 +41,35 @@ def canonical_text(col: Column) -> Column:
 
 
 def exact_duplicates(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_ids: int = 100,
 ) -> DataFrame:
     """(text_hash, dup_count, keep_id, all_ids) for groups of >1 doc.
-    One shuffle (partial-aggregated groupBy on the 128-bit hash)."""
+
+    ``all_ids`` is BOUNDED: the first ``max_ids`` ids per group in
+    ascending order. At web scale one boilerplate page can repeat ~10^9
+    times; an unbounded collect_list would put every id of that group
+    into a single aggregation buffer. The row_number window caps the
+    buffer itself (collect_list skips the NULLs the cap produces), and
+    the groupBy that follows reuses the window's hash partitioning on
+    text_hash — still ONE exchange total (asserted in
+    tests/test_physical_plans.py)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("text_hash").orderBy("id")
     return (
         docs.select(
             F.col(id_col).alias("id"),
             F.md5(canonical_text(F.col(text_col))).alias("text_hash"),
         )
+        .withColumn("_rn", F.row_number().over(w))
         .groupBy("text_hash")
         .agg(
             F.count("*").alias("dup_count"),
             F.min("id").alias("keep_id"),
-            F.sort_array(F.collect_list("id")).alias("all_ids"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_rn") <= max_ids, F.col("id")))
+            ).alias("all_ids"),
         )
         .where(F.col("dup_count") > 1)
     )

@@ -113,7 +113,13 @@ def decode_image(payload: bytes) -> np.ndarray | None:
     (P6 PPM, 24-bit BMP); None for anything else (JPEG/PNG/... need a
     codec library that does not ship here)."""
     if payload.startswith(b"P6"):
-        return decode_ppm(payload)
+        # same malformed-payload contract as the BMP branch: arbitrary
+        # binary starting with b"P6" must yield None, not blow up the
+        # whole extract_features job
+        try:
+            return decode_ppm(payload)
+        except ValueError:
+            return None
     if payload.startswith(b"BM"):
         try:
             return decode_bmp(payload)

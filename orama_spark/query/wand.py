@@ -266,6 +266,15 @@ class BlockIndex:
         cls._check_not_stale(index_dir)
         with open(os.path.join(index_dir, "stats.json")) as f:
             stats = json.load(f)
+        # blocks/ and champions/ are two separate overwrites; a failure
+        # between them would pair fresh blocks with a previous build's
+        # champions (θ seeded from mismatched scores -> unsound pruning).
+        # Protocol: remove the stamp FIRST, write both dirs, write the
+        # stamp LAST — load() refuses whenever the stamp is absent, so a
+        # torn build can never be served.
+        stamp_path = os.path.join(index_dir, "blocks_build.json")
+        if os.path.exists(stamp_path):
+            os.remove(stamp_path)
         postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         dictionary = spark.read.parquet(os.path.join(index_dir, "dictionary"))
         blocks = build_blocks(postings, dictionary, stats, config.bm25)
@@ -304,6 +313,12 @@ class BlockIndex:
             .write.mode("overwrite")
             .parquet(os.path.join(index_dir, "champions"))
         )
+        import uuid
+
+        with open(stamp_path, "w") as f:
+            json.dump(
+                {"build_id": uuid.uuid4().hex, "docs_count": stats["docs_count"]}, f
+            )
         return cls.load(spark, index_dir, config)
 
     @staticmethod
@@ -325,6 +340,14 @@ class BlockIndex:
         import json
 
         cls._check_not_stale(index_dir)
+        blocks_dir = os.path.join(index_dir, "blocks")
+        stamp_path = os.path.join(index_dir, "blocks_build.json")
+        if os.path.exists(blocks_dir) and not os.path.exists(stamp_path):
+            raise ValueError(
+                "blocks/ exists without a build stamp (torn or "
+                "pre-stamp BlockIndex.build, or a compact() "
+                "invalidation); re-run BlockIndex.build()"
+            )
         with open(os.path.join(index_dir, "stats.json")) as f:
             stats = json.load(f)
         champ_dir = os.path.join(index_dir, "champions")

@@ -115,3 +115,16 @@ def test_datapipe_text_kernels_are_map_only(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
         assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1, plan
+
+
+def test_exact_duplicates_single_exchange(spark):
+    """exact_duplicates caps all_ids with a row_number window whose hash
+    partitioning (text_hash) the following groupBy must REUSE — one
+    Exchange total, or the cap would have doubled the shuffle cost."""
+    from orama_spark.datapipe.dedup import exact_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 3}") for i in range(12)], "doc_id long, text string"
+    )
+    plan = exact_duplicates(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
