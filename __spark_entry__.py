@@ -275,6 +275,44 @@ def _get_mutated_index(spark: SparkSession, sf_dir: str, kind: str) -> SearchInd
     return idx
 
 
+# allow_duplicates index + block-max WAND: df counts occurrences and
+# tf = occ/field_len (index.ts:113-118); the block path carries
+# per-posting tf numerators, so WAND pruning now covers this posting
+# shape (query/wand.py) — gate it end-to-end at value level.
+_DUP_CACHE: dict[str, object] = {}
+
+
+def _get_dup_blocks(spark: SparkSession, sf_dir: str):
+    bidx = _DUP_CACHE.get(sf_dir)
+    if bidx is not None:
+        return bidx
+    from orama_spark.query.wand import BlockIndex
+
+    cfg = IndexConfig(
+        schema={"text": "string"},
+        tokenizer=TokenizerConfig(allow_duplicates=True),
+        docid_col="docid",
+    )
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(F.col("doc_id").alias("docid"), "text")
+    )
+    out = os.path.join(
+        "/dev/shm/orama_spark_entry_dupidx",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    if not os.path.exists(os.path.join(out, "blocks_build.json")):
+        import shutil as _sh
+
+        _sh.rmtree(out, ignore_errors=True)
+        IndexBuilder(cfg).build(df, out, input_id=sf_dir)
+        bidx = BlockIndex.build(spark, out, cfg)
+    else:
+        bidx = BlockIndex.load(spark, out, cfg)
+    _DUP_CACHE[sf_dir] = bidx
+    return bidx
+
+
 # alternative scorers (SURVEY §2.10): PT15 + QPS indexes over documents
 _ALT_CACHE: dict[tuple, object] = {}
 
@@ -689,6 +727,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sr = idx.search(term="upserted novel", limit=10)
         return sr.top_df().select("docid", _r())
     q["flt_after_upsert"] = after_upsert
+
+    # allow_duplicates BM25 (tf = occ/fl, df = Σocc) served through
+    # block-max WAND — the posting shape that used to route to the
+    # plain path
+    def dup_tf(spark, sf_dir):
+        bidx = _get_dup_blocks(spark, sf_dir)
+        return bidx.wand_topk("spark merge", k=10).select(
+            "docid", F.round("score", 6).alias("score")
+        )
+    q["flt_dup_tf"] = dup_tf
 
     # alternative scorers (SURVEY §2.10)
     def pt15_topk(spark, sf_dir):
@@ -1393,6 +1441,43 @@ LIMIT 100
             "FROM documents WHERE doc_id % 50 = 7"
         ),
     )
+
+    # allow_duplicates: NO list_distinct — every occurrence is a token;
+    # tf = occ/fl, fl = total token count, df = total occurrences
+    # (index.ts:113-118; can exceed N -> negative idf, same formula)
+    sql["flt_dup_tf"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           regexp_split_to_array(lower(text), '{SQL_SPLIT}'), x -> x <> '')) AS term
+  FROM documents
+),
+meta AS (SELECT doc_id, count(*) AS fl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT avg(fl) FROM meta) AS avgfl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+occ AS (
+  SELECT doc_id, term, count(*) AS occ FROM tok
+  WHERE term IN ('spark', 'merge') GROUP BY doc_id, term
+),
+scored AS (
+  SELECT o.doc_id AS docid,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * (0.5 + (1.0 * o.occ / mt.fl) * 2.2)
+              / ((1.0 * o.occ / mt.fl) + 1.2 * (1 - 0.75 + 0.75 * mt.fl / s.avgfl)) ) AS score
+  FROM occ o
+  JOIN meta mt ON mt.doc_id = o.doc_id
+  JOIN dfreq f ON f.term = o.term
+  CROSS JOIN stats s
+  GROUP BY o.doc_id
+)
+SELECT docid, round(score, 6) AS score
+FROM scored
+ORDER BY scored.score DESC, docid ASC
+LIMIT 10
+"""
 
     # PT15: dedupe tokens first-occurrence order -> 15-bucket position
     # -> score = sum of positions of tokens with the query prefix

@@ -27,15 +27,28 @@ Block table schema (one row per <=BLOCK_SIZE postings of one term):
   docid_deltas binary (varint of internal deltas),
   orig_docids binary (varint),
   field_lens binary (varint),
+  tfns binary,      -- varint of per-posting tf NUMERATORS
+                    -- (tf = tfn/field_len); b"" means all-ones — the
+                    -- deduplicating-tokenizer identity, which costs
+                    -- zero bytes. Non-trivial tfns cover
+                    -- allow_duplicates (tfn = occurrence count) and
+                    -- string[] fields (tfn = last-element occurrences,
+                    -- possibly 0 — index.ts:90,107).
   max_score double, -- BM25 upper bound for any posting in the block
+  min_score double, -- BM25 lower bound — needed because df counts
+                    -- OCCURRENCES (index.ts:113-118): a term repeating
+                    -- more often than there are docs gets df > N, a
+                    -- NEGATIVE idf and negative scores, and the WAND θ
+                    -- seed must then be lowered by the possible missing
+                    -- negative contributions (query/wand.py)
   df long           -- denormalized per-(field,term) document frequency,
                     -- so queries score without a dictionary join
 
-``max_score`` uses the monotonicity of BM25 in field_len when tf=1/fl:
-score(fl) = idf*(d + (k+1)/fl) / (1/fl + k*(1-b+b*fl/avgfl)) is strictly
-decreasing in fl, so the block bound is score(min fl in block) — an
-ACHIEVED bound (some posting in the block attains it). Bounds are
-computed at build time with the final (N, avgfl, df) statistics.
+``max_score`` is the max of the EXACT per-posting BM25 scores of the
+block (computed at build time with the final (N, avgfl, df) statistics)
+— an ACHIEVED bound by construction, for every tfn shape. For the
+all-ones identity this equals the old analytic bound score(min fl):
+BM25 with tf=1/fl is strictly decreasing in fl.
 
 Encoding runs inside mapInPandas over partitions range-partitioned and
 sorted by (field, term, internal) — each task streams through its slice
@@ -73,7 +86,9 @@ BLOCKS_SCHEMA = StructType(
         StructField("docid_deltas", BinaryType(), False),
         StructField("orig_docids", BinaryType(), False),
         StructField("field_lens", BinaryType(), False),
+        StructField("tfns", BinaryType(), False),
         StructField("max_score", DoubleType(), False),
+        StructField("min_score", DoubleType(), False),
         StructField("df", LongType(), False),
     ]
 )
@@ -124,10 +139,12 @@ def varint_decode(buf: bytes) -> np.ndarray:
     return vals
 
 
-def bm25_for_fl(fl: np.ndarray, df: float, n_docs: float, avgfl: float, p: BM25Params) -> np.ndarray:
-    """BM25 with tf = 1/fl (the deduplicating-tokenizer identity)."""
+def bm25_for_fl(fl: np.ndarray, df: float, n_docs: float, avgfl: float,
+                p: BM25Params, tfn: np.ndarray | None = None) -> np.ndarray:
+    """BM25 with tf = tfn/fl; tfn=None means the all-ones identity of the
+    deduplicating tokenizer (tf = 1/fl)."""
     idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
-    tf = 1.0 / fl
+    tf = (1.0 if tfn is None else tfn) / fl
     return (idf * (p.d + tf * (p.k + 1))) / (tf + p.k * (1 - p.b + (p.b * fl) / avgfl))
 
 
@@ -201,7 +218,15 @@ def build_blocks(
     p = (
         postings.join(docmap, "docid")
         .join(F.broadcast(dictionary), ["field", "term"])
-        .select("field", "term", "docid", "internal", "field_len", "df")
+        .select(
+            "field", "term", "docid", "internal", "field_len", "df",
+            # tf numerator: postings store tf = tfn/field_len as a
+            # double; tfn is an exact small integer for every posting
+            # shape (1 for dedup, occ for allow_duplicates, last-element
+            # occurrences — possibly 0 — for string[]), so round()
+            # recovers it exactly
+            F.round(F.col("tf") * F.col("field_len")).cast("long").alias("tfn"),
+        )
         .repartitionByRange("field", "term", "internal")
         .sortWithinPartitions("field", "term", "internal")
     )
@@ -213,16 +238,22 @@ def build_blocks(
         out_rows: list[dict] = []
 
         def flush_group(field: str, term: str, df_val: float,
-                        internals: np.ndarray, origs: np.ndarray, fls: np.ndarray):
+                        internals: np.ndarray, origs: np.ndarray,
+                        fls: np.ndarray, tfns: np.ndarray):
             avgfl = avgs[field]
+            trivial_tfn = bool((tfns == 1).all())
             for bi, s in enumerate(range(0, len(internals), block_size)):
                 d = internals[s : s + block_size]
                 o = origs[s : s + block_size]
                 f_ = fls[s : s + block_size]
+                t_ = tfns[s : s + block_size]
                 deltas = np.diff(d, prepend=d[0]).astype(np.uint64)
-                ub = float(
-                    bm25_for_fl(np.array([f_.min()], dtype=np.float64), df_val, n_docs, avgfl, params)[0]
+                # ACHIEVED bounds: max/min of the exact per-posting scores
+                sc = bm25_for_fl(
+                    f_.astype(np.float64), df_val, n_docs, avgfl, params,
+                    tfn=None if trivial_tfn else t_.astype(np.float64),
                 )
+                ub, lb = float(sc.max()), float(sc.min())
                 out_rows.append(
                     {
                         "field": field,
@@ -234,7 +265,11 @@ def build_blocks(
                         "docid_deltas": varint_encode(deltas),
                         "orig_docids": varint_encode(o.astype(np.uint64)),
                         "field_lens": varint_encode(f_.astype(np.uint64)),
+                        "tfns": b"" if trivial_tfn else varint_encode(
+                            t_.astype(np.uint64)
+                        ),
                         "max_score": ub,
+                        "min_score": lb,
                         # df rides on the block row so the query path can
                         # score without a dictionary join (it is constant
                         # per (field, term) — denormalized metadata)
@@ -262,6 +297,7 @@ def build_blocks(
                     pdf["internal"].values[s:e].astype(np.int64),
                     pdf["docid"].values[s:e].astype(np.int64),
                     pdf["field_len"].values[s:e].astype(np.int64),
+                    pdf["tfn"].values[s:e].astype(np.int64),
                 )
             carry = pdf.iloc[starts[-1]:].copy()
             if out_rows:
@@ -275,6 +311,7 @@ def build_blocks(
                 carry["internal"].values.astype(np.int64),
                 carry["docid"].values.astype(np.int64),
                 carry["field_len"].values.astype(np.int64),
+                carry["tfn"].values.astype(np.int64),
             )
         if out_rows:
             yield pd.DataFrame(out_rows)
@@ -287,20 +324,28 @@ def decode_blocks_to_postings(blocks_pdf: pd.DataFrame) -> pd.DataFrame:
     pandas — the query-side decode kernel (runs inside an Arrow batch).
     ``docid`` is the ORIGINAL id (scoring + tie-breaks); ``internal`` the
     length-ordered id (block-range arithmetic only)."""
-    fields, terms, internals, origs, fls = [], [], [], [], []
+    fields, terms, internals, origs, fls, tfns = [], [], [], [], [], []
     for r in blocks_pdf.itertuples(index=False):
         deltas = varint_decode(bytes(r.docid_deltas)).astype(np.int64)
         d = r.first_docid + np.concatenate(([0], np.cumsum(deltas[1:])))
         o = varint_decode(bytes(r.orig_docids)).astype(np.int64)
         f_ = varint_decode(bytes(r.field_lens)).astype(np.int64)
+        raw_t = bytes(getattr(r, "tfns", b"") or b"")
+        t_ = (
+            varint_decode(raw_t).astype(np.int64)
+            if raw_t
+            else np.ones(len(d), dtype=np.int64)
+        )
         fields.append(np.full(len(d), r.field, dtype=object))
         terms.append(np.full(len(d), r.term, dtype=object))
         internals.append(d)
         origs.append(o)
         fls.append(f_)
+        tfns.append(t_)
     if not internals:
         return pd.DataFrame(
-            {"field": [], "term": [], "docid": [], "internal": [], "field_len": []}
+            {"field": [], "term": [], "docid": [], "internal": [],
+             "field_len": [], "tfn": []}
         )
     return pd.DataFrame(
         {
@@ -309,5 +354,6 @@ def decode_blocks_to_postings(blocks_pdf: pd.DataFrame) -> pd.DataFrame:
             "docid": np.concatenate(origs),
             "internal": np.concatenate(internals),
             "field_len": np.concatenate(fls),
+            "tfn": np.concatenate(tfns),
         }
     )

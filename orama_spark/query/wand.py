@@ -52,6 +52,19 @@ carry a 1e-12 relative epsilon to absorb float summation-order jitter
 between phase 0 and phase 2 (true-score gaps are astronomically larger
 than 1e-12 relative).
 
+NEGATIVE contributions: df counts occurrences (index.ts:113-118), so a
+term repeating more often than there are docs has df > N, idf < 0 and
+all-negative scores. Two guards keep the proof intact: (1) θ is lowered
+by Σ_t min(0, min_t) — min_t the term's global minimum posting score,
+stored per block at build — because a pool partial sum may EXCEED the
+true score when the contributions it is missing are negative; (2) the
+sweeps clamp each block bound at 0, because a doc covered by (but not
+matching) a negative-bound block contributes 0, not the negative bound.
+All-positive queries (every dedup-tokenizer index) hit neither guard:
+adj = 0 and the clamp is a no-op. A query whose adjusted θ ≤ 0
+disengages pruning (clamped UB ≥ 0 ≥ θ everywhere) — sound, just
+unpruned, and only reachable with negative-idf (hyper-frequent) terms.
+
 Why pruning bites: build/blocks.py assigns internal docids by ascending
 document length, so per-block max scores DECAY along the internal axis
 (BM25 with tf=1/fl is strictly decreasing in fl) and UB(d) falls below
@@ -90,8 +103,8 @@ _SURVIVOR_SCHEMA = (
 _KEPT_EMPTY_SCHEMA = (
     "field string, term string, first_docid long, last_docid long, "
     "block_id int, n int, docid_deltas binary, orig_docids binary, "
-    "field_lens binary, max_score double, df long, clip_start long, "
-    "clip_end long"
+    "field_lens binary, tfns binary, max_score double, min_score double, "
+    "df long, clip_start long, clip_end long"
 )
 _EPS = 1e-12  # relative float-jitter allowance on θ comparisons
 
@@ -136,13 +149,20 @@ def _score_blocks_fn(avgs: dict, n_docs: float, bm25_params, clipped: bool,
                 )
                 origs = varint_decode(bytes(r.orig_docids)).astype(np.int64)
                 fls = varint_decode(bytes(r.field_lens)).astype(np.float64)
+                raw_t = bytes(r.tfns or b"")
+                tfns = (
+                    varint_decode(raw_t).astype(np.float64) if raw_t else None
+                )
                 if clipped:
                     m = (internal >= r.clip_start) & (internal <= r.clip_end)
                     origs, fls = origs[m], fls[m]
+                    if tfns is not None:
+                        tfns = tfns[m]
                 if len(origs) == 0:
                     continue
                 s = bm25_for_fl(
-                    fls, float(r.df), n_docs, avgs[r.field], bm25_params
+                    fls, float(r.df), n_docs, avgs[r.field], bm25_params,
+                    tfn=tfns,
                 )
                 if top_n is not None and len(s) > top_n:
                     sel = np.argpartition(-s, top_n)[:top_n]
@@ -197,7 +217,12 @@ def _sweep_fn(dmin: int, width: int):
             keep = np.ones(len(first), dtype=bool)
         else:
             thr = theta * (1.0 - _EPS)
-            ms = pdf["max_score"].values.astype(np.float64)
+            # clamp at 0: a doc covered by (but not matching) a
+            # NEGATIVE-bound block contributes 0 to its true score, so
+            # summing the raw negative bound would UNDERcount UB and
+            # prune true hits (negative bounds exist because df counts
+            # occurrences — idf < 0 when df > N)
+            ms = np.maximum(pdf["max_score"].values.astype(np.float64), 0.0)
             pts = np.concatenate([s, e + 1])
             deltas = np.concatenate([ms, -ms])
             upts, inv = np.unique(pts, return_inverse=True)
@@ -254,15 +279,12 @@ class BlockIndex:
         (field, term, internal) — hot terms split by internal range."""
         import json
 
-        if config.tokenizer.allow_duplicates or any(
-            config.schema[f_] == "string[]" for f_ in config.searchable_fields
-        ):
-            raise NotImplementedError(
-                "BlockIndex assumes the deduplicating tokenizer identity "
-                "tf == 1/field_len (blocks store only field_len); "
-                "allow_duplicates or string[] postings must use the "
-                "plain path"
-            )
+        # every posting shape is supported: blocks carry per-posting tf
+        # numerators (tfn = tf*field_len — 1 for the deduplicating
+        # tokenizer, occurrence counts under allow_duplicates, last-
+        # element occurrences for string[]), and max_score is the max of
+        # the EXACT per-posting scores, so the bound stays achieved and
+        # pruning stays sound for all of them (build/blocks.py).
         cls._check_not_stale(index_dir)
         with open(os.path.join(index_dir, "stats.json")) as f:
             stats = json.load(f)
@@ -386,7 +408,10 @@ class BlockIndex:
             keep = np.ones(len(rows), dtype=bool)
         else:
             thr = theta * (1.0 - _EPS)
-            ms = np.array([r["max_score"] for r in rows], dtype=np.float64)
+            # clamped like _sweep_fn — see the comment there
+            ms = np.maximum(
+                np.array([r["max_score"] for r in rows], dtype=np.float64), 0.0
+            )
             pts = np.concatenate([first, last + 1])
             deltas = np.concatenate([ms, -ms])
             upts, inv = np.unique(pts, return_inverse=True)
@@ -420,6 +445,24 @@ class BlockIndex:
         is a valid lower bound of the true k-th score for ANY k — a pool
         shallower than 4k/BLOCK_SIZE blocks only loosens θ, never breaks
         soundness."""
+        # θ soundness under NEGATIVE term contributions (df counts
+        # occurrences, so df > N gives idf < 0): a pool partial sum is
+        # no longer ≤ the true score — the contributions it is missing
+        # can be negative. true(d) ≥ partial(d) + Σ_t min(0, min_t)
+        # where min_t is term t's global minimum posting score, so
+        # lowering θ by that (≤ 0) constant restores the lower-bound
+        # property. All-positive queries have adj = 0 — the common path
+        # is untouched. Lazy: a 2-level agg over the query's block
+        # metadata (tiny), crossJoined into θ.
+        adj_df = (
+            meta.groupBy("field", "term")
+            .agg(F.min("min_score").alias("_mn"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.least(F.lit(0.0), F.col("_mn"))), F.lit(0.0)
+                ).alias("adj")
+            )
+        )
         if self.champions is not None and tokens is not None and keep_ids is None:
             # fast θ: the champion pool is BOUNDED BY THE QUERY, not the
             # corpus (CHAMPION_BLOCKS × BLOCK_SIZE × #terms × #fields ≈
@@ -432,9 +475,6 @@ class BlockIndex:
             ).select("docid", "s").toPandas()
             sums = pool.groupby("docid")["s"].sum().sort_values(ascending=False)
             theta = float(sums.iloc[k - 1]) if len(sums) >= k else 0.0
-            theta_df = F.broadcast(
-                self.spark.createDataFrame([(theta,)], "theta double")
-            )
             # bounded driver sweep: when the query terms' block METADATA
             # fits under driver_sweep_max_blocks (rare terms, small
             # corpora — detected with a LIMIT-guarded collect, one tiny
@@ -446,9 +486,20 @@ class BlockIndex:
             # engine's top-k/expansion collects.
             cap = self.driver_sweep_max_blocks
             rows = meta.select(
-                "field", "term", "first_docid", "last_docid", "max_score"
+                "field", "term", "first_docid", "last_docid",
+                "max_score", "min_score",
             ).limit(cap + 1).collect()
             if len(rows) <= cap:
+                # θ adjustment (see adj_df comment), computed from the
+                # already-collected full metadata
+                mins: dict = {}
+                for r in rows:
+                    key = (r["field"], r["term"])
+                    mins[key] = min(mins.get(key, float("inf")), r["min_score"])
+                theta += sum(min(0.0, v) for v in mins.values())
+                theta_df = F.broadcast(
+                    self.spark.createDataFrame([(theta,)], "theta double")
+                )
                 surv = self._driver_sweep(rows, theta)
                 if surv is None:
                     kept = self.spark.createDataFrame([], _KEPT_EMPTY_SCHEMA)
@@ -464,6 +515,13 @@ class BlockIndex:
                         ["field", "term", "first_docid"],
                     ).repartition(1)
                 return kept, theta_df
+            # over the cap: distributed sweep with the same θ, adjusted
+            # lazily (the full metadata was never collected)
+            theta_df = F.broadcast(
+                self.spark.createDataFrame([(theta,)], "theta double")
+                .crossJoin(adj_df)
+                .select((F.col("theta") + F.col("adj")).alias("theta"))
+            )
         elif self.champions is not None and tokens is not None:
             seed_scored = self.champions.where(
                 F.col("term").isin(tokens)
@@ -497,6 +555,8 @@ class BlockIndex:
                     .otherwise(F.lit(0.0))
                     .alias("theta")
                 )
+                .crossJoin(adj_df)
+                .select((F.col("theta") + F.col("adj")).alias("theta"))
             )
 
         # phase 1: bucketed docid-aligned sweep over block metadata.

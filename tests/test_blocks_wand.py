@@ -146,3 +146,91 @@ class TestWand:
             b = [(r["docid"], round(r["score"], 9))
                  for r in forced.wand_topk(term, k=10).collect()]
             assert a == b and a, term
+
+
+class TestWandAllowDuplicates:
+    """Blocks carry per-posting tf numerators, so block-max pruning now
+    covers allow_duplicates (tf = occ/fl) — previously routed to the
+    plain path. Bound stays achieved (max of exact scores)."""
+
+    @pytest.fixture(scope="class")
+    def dup_indexes(self, spark, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("wanddupidx"))
+        cfg = IndexConfig(
+            schema={"text": "string", "lang": "enum"},
+            tokenizer=TokenizerConfig(
+                stemming=True,
+                stopwords=TokenizerConfig.full().stopwords,
+                allow_duplicates=True,
+            ),
+        )
+        n = 2400  # enough docs that hot terms span many 128-posting blocks
+        g = CorpusGenerator(seed=7)
+        cols = g.batch(np.arange(n, dtype=np.int64))
+        rows = [
+            {"docid": i, "text": cols["text"][i], "lang": cols["lang"][i]}
+            for i in range(n)
+        ]
+        IndexBuilder(cfg, postings_partitions=3).build(
+            spark.createDataFrame(rows), out, input_id="wd"
+        )
+        return SearchIndex.load(spark, out, cfg), BlockIndex.build(spark, out, cfg), cfg
+
+    @pytest.mark.parametrize("term", ["fox", "search engine", "river mountain"])
+    def test_rank_identity_vs_plain(self, dup_indexes, term):
+        plain, blocks, _ = dup_indexes
+        want = [
+            (r["docid"], r["score"])
+            for r in plain.search(term=term, exact=True, limit=10).top_df().collect()
+        ]
+        keep = plain.exact_filter_ids(term)
+        got = [
+            (r["docid"], r["score"])
+            for r in blocks.wand_topk(term, k=10, keep_ids=keep).collect()
+        ]
+        assert [g[0] for g in got] == [w[0] for w in want], term
+        for (gi, gs), (wi, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9)
+
+    def test_pruning_nonzero_under_duplicates(self, dup_indexes):
+        # query two hot POSITIVE-idf terms (df well under N — df counts
+        # occurrences under allow_duplicates, so the very hottest terms
+        # go idf-negative and soundly disengage pruning) spanning many
+        # blocks — pruning must DROP some (θ > 0, kept < total), the
+        # property that was vacuous while allow_duplicates routed to
+        # the plain path
+        _, blocks, _ = dup_indexes
+        n = blocks.stats["docs_count"]
+        hot = [
+            r["term"]
+            for r in blocks.dictionary.where(F.col("df") < 0.4 * n)
+            .orderBy(F.desc("df")).limit(2).collect()
+        ]
+        st = blocks.pruning_stats(" ".join(hot), k=10)
+        assert st["blocks_total"] >= 8
+        assert 0 < st["blocks_kept"] < st["blocks_total"]
+        assert st["theta"] > 0
+
+    def test_negative_idf_query_disengages_but_stays_exact(self, dup_indexes):
+        # the single hottest term has df > N (idf < 0): θ ≤ 0 disengages
+        # pruning, and the result must still equal the plain path
+        plain, blocks, _ = dup_indexes
+        hot = blocks.dictionary.orderBy(F.desc("df")).first()["term"]
+        want = [
+            (r["docid"], r["score"])
+            for r in plain.search(term=hot, exact=True, limit=10).top_df().collect()
+        ]
+        keep = plain.exact_filter_ids(hot)
+        got = [
+            (r["docid"], r["score"])
+            for r in blocks.wand_topk(hot, k=10, keep_ids=keep).collect()
+        ]
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for (gi, gs), (wi, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9)
+
+    def test_tfns_materialized(self, dup_indexes):
+        # duplicate-bearing blocks must carry non-empty tfn payloads
+        _, blocks, _ = dup_indexes
+        n_nontrivial = blocks.blocks.where(F.length("tfns") > 0).count()
+        assert n_nontrivial > 0
