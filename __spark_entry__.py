@@ -738,6 +738,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["flt_dup_tf"] = dup_tf
 
+    # PNG decode gated end-to-end: deterministic solid-color PNGs are
+    # synthesized per doc_id (cycling through ALL FIVE per-row filter
+    # types), pushed through the real multimodal plumbing
+    # (mapInPandas -> extract_features strict=True -> zlib inflate +
+    # unfilter), and the emitted dims/channel means are compared to the
+    # oracle's closed-form values. Channel means are rescaled *255 and
+    # rounded so float32 transport can't flake the hash.
+    def image_png(spark, sf_dir):
+        from orama_spark.datapipe import multimodal as mm
+
+        docs = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .where(F.col("doc_id") % 5 == 0)
+            .select("doc_id")
+        )
+
+        def gen(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["doc_id"].astype(int):
+                    h, w = int(i % 4) + 2, int(i % 7) + 3
+                    col = _np.array(
+                        [(i * 37) % 256, (i * 59) % 256, (i * 83) % 256],
+                        dtype=_np.uint8,
+                    )
+                    img = _np.broadcast_to(col, (h, w, 3)).copy()
+                    rows.append(
+                        {
+                            "media_id": int(i),
+                            "kind": "image",
+                            "mime": "image/png",
+                            "payload": mm.encode_png(img, filter_type=int(i % 5)),
+                            "width": w,
+                            "height": h,
+                            "duration_ms": None,
+                        }
+                    )
+                yield _pd.DataFrame(rows)
+
+        media = docs.mapInPandas(gen, mm.MEDIA_SCHEMA)
+        feats = mm.extract_features(media, strict=True)
+        return feats.select(
+            "media_id",
+            F.element_at("feature", 1).cast("double").alias("height"),
+            F.element_at("feature", 2).cast("double").alias("width"),
+            F.round(F.element_at("feature", 3) * 255).cast("long").alias("r"),
+            F.round(F.element_at("feature", 4) * 255).cast("long").alias("g"),
+            F.round(F.element_at("feature", 5) * 255).cast("long").alias("b"),
+        )
+    q["image_png_features"] = image_png
+
     # alternative scorers (SURVEY §2.10)
     def pt15_topk(spark, sf_dir):
         idx = _get_alt_index(spark, sf_dir, "pt15")
@@ -1477,6 +1531,19 @@ SELECT docid, round(score, 6) AS score
 FROM scored
 ORDER BY scored.score DESC, docid ASC
 LIMIT 10
+"""
+
+    # PNG features of a solid (h, w, color) image in closed form —
+    # matches only if the Spark side's zlib inflate + per-row unfilter
+    # reconstructed every pixel
+    sql["image_png_features"] = """
+SELECT doc_id AS media_id,
+       CAST((doc_id % 4) + 2 AS DOUBLE) AS height,
+       CAST((doc_id % 7) + 3 AS DOUBLE) AS width,
+       (doc_id * 37) % 256 AS r,
+       (doc_id * 59) % 256 AS g,
+       (doc_id * 83) % 256 AS b
+FROM documents WHERE doc_id % 5 = 0
 """
 
     # PT15: dedupe tokens first-occurrence order -> 15-bucket position

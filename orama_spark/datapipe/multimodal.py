@@ -3,11 +3,13 @@ columns with typed metadata.
 
 The Spark-side contract (schema, partitioning, Arrow batch shape, UDF
 signatures) is real and tested. Decoding is REAL for the formats that
-need no codec library: uncompressed images (P6 PPM, 24-bit BMP —
-``decode_image``, pure numpy) and PCM WAV audio (``decode_wav``,
-stdlib ``wave`` + numpy). Compressed formats (JPEG/PNG/MP3/...) and
-video remain stubbed: those payloads raise NotImplementedError
-(strict mode) or yield deterministic fake/NULL features (test mode).
+need no codec library: images (P6 PPM, 24-bit BMP — pure numpy — and
+non-interlaced 8-bit PNG — stdlib zlib inflate + the five per-row
+prediction filters; ``decode_image``) and PCM WAV audio
+(``decode_wav``, stdlib ``wave`` + numpy). DCT/entropy formats
+(JPEG/MP3/...) and video remain stubbed: those payloads raise
+NotImplementedError (strict mode) or yield deterministic fake/NULL
+features (test mode).
 Swapping in PIL/ffmpeg later changes only the inner kernel function,
 not the Spark plumbing.
 
@@ -102,6 +104,156 @@ def decode_bmp(b: bytes) -> np.ndarray:
     return (px[::-1] if flip else px).copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG (gray / gray+alpha / RGB / RGBA) ->
+    (H, W, 3) uint8. Pure stdlib zlib + numpy — PNG is just deflate
+    (IDAT) plus five per-row prediction filters, no codec library
+    needed. Alpha is dropped; grayscale broadcasts to 3 channels.
+    Raises ValueError on anything else (palette, 16-bit, interlaced,
+    malformed)."""
+    import zlib
+
+    if not b.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (ln,) = np.frombuffer(b[pos : pos + 4], dtype=">u4")
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + int(ln)]
+        if len(data) < int(ln):
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + int(ln)  # len + type + data + crc (crc not verified)
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h = (int(x) for x in np.frombuffer(ihdr[:8], dtype=">u4"))
+    depth, color, comp, filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, "
+            f"interlace={interlace}) — only non-interlaced 8-bit"
+        )
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad IDAT stream: {e}") from None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT size mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = raw[:, 0]
+    rows = raw[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    bpp = channels
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = int(ftypes[y])
+        cur = rows[y]
+        if f == 0:  # None
+            rec = cur
+        elif f == 1:  # Sub: recon[x] = cur[x] + recon[x-bpp] — a
+            # per-channel cumulative sum mod 256, fully vectorized
+            rec = cur.reshape(-1, bpp).cumsum(axis=0).reshape(-1)
+        elif f == 2:  # Up
+            rec = cur + prev
+        elif f == 3:  # Average — left-dependency forces a pixel loop
+            rec = cur.copy()
+            for x in range(stride):
+                left = rec[x - bpp] & 0xFF if x >= bpp else 0
+                rec[x] += (left + prev[x]) >> 1
+        elif f == 4:  # Paeth
+            rec = cur.copy()
+            for x in range(stride):
+                a = rec[x - bpp] & 0xFF if x >= bpp else 0
+                c = prev[x - bpp] & 0xFF if x >= bpp else 0
+                p_ = a + prev[x] - c
+                pa, pb, pc = abs(p_ - a), abs(p_ - prev[x]), abs(p_ - c)
+                if pa <= pb and pa <= pc:
+                    rec[x] += a
+                elif pb <= pc:
+                    rec[x] += prev[x]
+                else:
+                    rec[x] += c
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        rec = rec & 0xFF
+        out[y] = rec
+        prev = rec
+    px = out.astype(np.uint8).reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 2:  # gray + alpha
+        return np.repeat(px[..., :1], 3, axis=2)
+    return px[..., :3].copy()  # RGB / RGBA (alpha dropped)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W, 3) or (H, W, 4) uint8 -> non-interlaced 8-bit PNG bytes
+    with every row carrying ``filter_type`` (0..4) — test/synthesis
+    helper; filters are applied by their spec definition, so a
+    round-trip exercises decode_png's inverse of each filter path."""
+    import zlib
+
+    h, w = arr.shape[:2]
+    channels = arr.shape[2] if arr.ndim == 3 else 1
+    a = arr.reshape(h, w * channels).astype(np.int64)
+    bpp = channels
+    lines = []
+    prev = np.zeros(w * channels, dtype=np.int64)
+    for y in range(h):
+        cur = a[y]
+        left = np.concatenate((np.zeros(bpp, dtype=np.int64), cur[:-bpp]))
+        upleft = np.concatenate((np.zeros(bpp, dtype=np.int64), prev[:-bpp]))
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - ((left + prev) >> 1)
+        elif filter_type == 4:
+            p_ = left + prev - upleft
+            pa, pb, pc = np.abs(p_ - left), np.abs(p_ - prev), np.abs(p_ - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = cur - pred
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        lines.append(bytes([filter_type]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = (
+        np.array([w, h], dtype=">u4").tobytes()
+        + bytes([8, color, 0, 0, 0])
+    )
+    idat = zlib.compress(b"".join(lines))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+        return (
+            np.array([len(data)], dtype=">u4").tobytes() + typ + data
+            + np.array([crc], dtype=">u4").tobytes()
+        )
+
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def encode_ppm(arr: np.ndarray) -> bytes:
     """(H, W, 3) uint8 -> binary P6 PPM bytes (test/synthesis helper)."""
     h, w = arr.shape[:2]
@@ -109,9 +261,14 @@ def encode_ppm(arr: np.ndarray) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray | None:
-    """Sniff + decode the natively-supported uncompressed formats
-    (P6 PPM, 24-bit BMP); None for anything else (JPEG/PNG/... need a
-    codec library that does not ship here)."""
+    """Sniff + decode the natively-supported formats (P6 PPM, 24-bit
+    BMP, non-interlaced 8-bit PNG); None for anything else (JPEG needs
+    a codec library that does not ship here)."""
+    if payload.startswith(_PNG_SIG):
+        try:
+            return decode_png(payload)
+        except ValueError:
+            return None
     if payload.startswith(b"P6"):
         # same malformed-payload contract as the BMP branch: arbitrary
         # binary starting with b"P6" must yield None, not blow up the
@@ -148,9 +305,9 @@ def _image_profile(arr: np.ndarray) -> np.ndarray:
 
 
 def _decode_image_stub(payload: bytes, strict: bool) -> np.ndarray:
-    """Decode kernel: REAL pure-numpy decode for uncompressed formats
-    (P6 PPM, 24-bit BMP); compressed formats (JPEG/PNG/...) remain
-    stubbed because no codec library ships in this environment.
+    """Decode kernel: REAL pure-numpy decode for P6 PPM, 24-bit BMP and
+    non-interlaced 8-bit PNG (stdlib zlib inflate + the five per-row
+    filters); JPEG remains stubbed because DCT codecs don't ship here.
 
     strict=True  -> NotImplementedError for undecodable payloads
     strict=False -> deterministic fake profile for undecodable payloads
@@ -160,8 +317,8 @@ def _decode_image_stub(payload: bytes, strict: bool) -> np.ndarray:
         return _image_profile(arr)
     if strict:
         raise NotImplementedError(
-            "compressed image formats require a codec library (e.g. "
-            "PIL); uncompressed BMP/PPM decode natively — see "
+            "JPEG (and other DCT/palette formats) require a codec "
+            "library (e.g. PIL); PPM/BMP/PNG decode natively — see "
             "decode_image"
         )
     h = hashlib.sha256(payload or b"").digest()

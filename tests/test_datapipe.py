@@ -681,3 +681,44 @@ class TestRealAudioDecode:
         assert out[1]["sample_rate"] is None  # undecodable, non-strict
         with pytest.raises(Exception):
             multimodal.extract_audio_features(df, strict=True).collect()
+
+
+class TestRealPngDecode:
+    """PNG = zlib-deflate IDAT + 5 per-row prediction filters — decoded
+    with stdlib zlib + numpy, no codec library. encode_png applies each
+    filter by its spec definition, so the round-trip proves decode_png
+    inverts every filter path."""
+
+    @pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+    def test_roundtrip_each_filter(self, ft):
+        rng = np.random.default_rng(42 + ft)
+        img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+        out = multimodal.decode_png(multimodal.encode_png(img, filter_type=ft))
+        assert out.shape == img.shape and (out == img).all()
+
+    def test_rgba_drops_alpha_gray_broadcasts(self):
+        rng = np.random.default_rng(7)
+        rgba = rng.integers(0, 256, size=(5, 7, 4), dtype=np.uint8)
+        assert (
+            multimodal.decode_png(multimodal.encode_png(rgba, filter_type=4))
+            == rgba[..., :3]
+        ).all()
+        g = rng.integers(0, 256, size=(6, 4, 1), dtype=np.uint8)
+        assert (
+            multimodal.decode_png(multimodal.encode_png(g, filter_type=1))
+            == np.repeat(g, 3, axis=2)
+        ).all()
+
+    def test_malformed_yields_none_not_crash(self):
+        assert multimodal.decode_image(b"\x89PNG\r\n\x1a\ngarbage") is None
+        assert multimodal.decode_image(b"\x89PNG\r\n\x1a\n") is None
+
+    def test_strict_mode_accepts_png(self, spark):
+        img = np.full((4, 6, 3), 200, dtype=np.uint8)
+        rows = [{"media_id": 0, "kind": "image", "mime": "image/png",
+                 "payload": multimodal.encode_png(img, filter_type=2),
+                 "width": 6, "height": 4, "duration_ms": None}]
+        df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+        f = multimodal.extract_features(df, strict=True).collect()[0]["feature"]
+        assert f[0] == 4.0 and f[1] == 6.0
+        assert abs(f[2] - 200 / 255) < 1e-6 and abs(f[5]) < 1e-6
