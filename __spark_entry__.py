@@ -415,6 +415,57 @@ def _get_tr_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     return idx
 
 
+# Japanese: @orama/tokenizers-japanese wrapper over the ICU-parity
+# dictionary segmenter (kernel/cjk_dict — ICU's own cjdict + the
+# published CjkBreakEngine Viterbi; differential-fuzzed against
+# Intl.Segmenter, the exact backend japanese.ts:23 delegates to).
+# Docs are UNSPACED concatenations of 3 words from a fixed 12-word
+# vocabulary; every one of the 12^3 concatenations re-segments exactly
+# into its 3 source words (verified in test_cjk_dict/test_entry), so
+# the DuckDB oracle regenerates the token stream arithmetically while
+# the Spark path must actually run the segmenter.  No stemming/
+# stopwords: the reference CJK wrapper never calls normalizeToken on
+# the regular path.
+_JA_WORDS = ["東京", "大学", "研究", "自然", "言語", "処理",
+             "会議", "新聞", "鉄道", "図書館", "機械", "学習"]
+JA_CONFIG = IndexConfig(
+    schema={"text": "string"},
+    tokenizer=TokenizerConfig(language="japanese"),
+    docid_col="docid",
+)
+_JA_CACHE: dict[str, SearchIndex] = {}
+
+
+def _ja_corpus(spark: SparkSession, sf_dir: str):
+    arr = F.array(*[F.lit(w) for w in _JA_WORDS])
+
+    def word(off: int):
+        return F.element_at(
+            arr, ((F.col("doc_id") * 5 + off) % 12 + 1).cast("int")
+        )
+
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(
+            F.col("doc_id").alias("docid"),
+            F.concat(word(0), word(4), word(7)).alias("text"),
+        )
+    )
+
+
+def _get_ja_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    idx = _JA_CACHE.get(sf_dir)
+    if idx is not None:
+        return idx
+    out = os.path.join(
+        "/dev/shm/orama_spark_entry_jaidx", os.path.basename(os.path.normpath(sf_dir))
+    )
+    IndexBuilder(JA_CONFIG).build(_ja_corpus(spark, sf_dir), out, input_id=sf_dir)
+    idx = SearchIndex.load(spark, out, JA_CONFIG)
+    _JA_CACHE[sf_dir] = idx
+    return idx
+
+
 # string[] + incremental remove: 1-element tags (array(lang)) so the
 # removal recurrence telescopes exactly (the reference's >=2-element
 # NaN-poisoning quirk is pinned in test_maintenance instead) and the
@@ -835,6 +886,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sr = idx.search(term="kitaplarımız şehirlerden", limit=10)
         return sr.top_df().select("docid", _r())
     q["flt_lang_tr"] = flt_lang_tr
+
+    # Japanese: unspaced query — the dictionary segmenter must split
+    # 東京図書館 into 東京|図書館 itself (the bigram fallback would
+    # produce different tokens and fail the value oracle)
+    def flt_lang_ja(spark, sf_dir):
+        idx = _get_ja_index(spark, sf_dir)
+        sr = idx.search(term="東京図書館", limit=10)
+        return sr.top_df().select("docid", _r())
+    q["flt_lang_ja"] = flt_lang_ja
 
     # string[] incremental maintenance: tombstone/delta-adjusted search
     # over 1-element tag arrays (per-element remove semantics,
@@ -1711,6 +1771,46 @@ tok AS (
 dfreq AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
 n AS (SELECT count(*) AS n FROM documents),
 qt(qtoken) AS (SELECT * FROM (VALUES ('kitap'), ('sehir')) v(q)),
+m AS (
+  SELECT DISTINCT tok.docid, tok.term
+  FROM tok JOIN qt ON tok.term LIKE qt.qtoken || '%'
+),
+scored AS (
+  SELECT m.docid,
+         sum( ln(1 + (n.n - f.df + 0.5) / (f.df + 0.5))
+              * (0.5 + (1.0/3.0) * 2.2)
+              / ((1.0/3.0) + 1.2 * (1 - 0.75 + 0.75 * 3.0 / 3.0)) ) AS score
+  FROM m JOIN dfreq f ON f.term = m.term CROSS JOIN n
+  GROUP BY m.docid
+)
+SELECT docid, round(score, 6) AS score
+FROM scored ORDER BY scored.score DESC, docid ASC LIMIT 10
+"""
+
+    # Japanese: the corpus is doc_id-arithmetic over 12 unspaced words
+    # (every 12^3 concatenation re-segments exactly — pinned in
+    # tests), so the oracle regenerates tokens arithmetically; the
+    # Spark side must run the ICU-parity dictionary segmenter on both
+    # the documents AND the unspaced query 東京図書館. fl = 3, avg = 3,
+    # tf = 1/3; no stemming/stopwords (the reference CJK wrapper never
+    # normalizes tokens on the regular path).
+    sql["flt_lang_ja"] = """
+WITH words(i, w) AS (
+  SELECT * FROM (VALUES
+    (0, '東京'), (1, '大学'), (2, '研究'), (3, '自然'),
+    (4, '言語'), (5, '処理'), (6, '会議'), (7, '新聞'),
+    (8, '鉄道'), (9, '図書館'), (10, '機械'), (11, '学習')
+  ) v(i, w)
+),
+tok AS (
+  SELECT d.doc_id AS docid, f.w AS term
+  FROM documents d
+  JOIN words f ON f.i IN ((d.doc_id*5)%12, (d.doc_id*5+4)%12,
+                          (d.doc_id*5+7)%12)
+),
+dfreq AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+qt(qtoken) AS (SELECT * FROM (VALUES ('東京'), ('図書館')) v(q)),
 m AS (
   SELECT DISTINCT tok.docid, tok.term
   FROM tok JOIN qt ON tok.term LIKE qt.qtoken || '%'

@@ -9,9 +9,12 @@ dedupe unless ``allowDuplicates``. Notably the wrapper never calls
 no stemming are applied to CJK tokens (only the tokenize-skip-properties
 path normalizes). That quirk is replicated here faithfully.
 
-Segmentation backend: no ICU binding ships in this environment, so the
-segmenter is the classic IR fallback — script-run splitting with
-overlapping han bigrams (CJK bigram indexing):
+Segmentation backend: the default is the ICU-parity dictionary
+segmenter in ``cjk_dict`` (ICU's own cjdict + the published
+CjkBreakEngine Viterbi — see that module), registered at import when
+its data file ships.  The fallback below is the classic IR approach —
+script-run splitting with overlapping han bigrams (CJK bigram
+indexing):
 
   * runs of han (CJK Unified Ideographs) -> overlapping bigrams
     (a 1-char run stays a unigram)
@@ -24,11 +27,12 @@ overlapping han bigrams (CJK bigram indexing):
 
 Because query text and document text pass through the SAME segmenter,
 every search-level assertion in the reference package's own test suites
-(tests/japanese.test.ts, tests/mandarin.test.ts) holds — verified in
-tests/test_cjk.py — but token boundaries differ from ICU on dictionary
-words of >= 3 chars (ICU: 東京大学 -> 東京|大学; here: 東京|京大|大学).
-The divergence is documented in COVERAGE.md; environments with an ICU
-binding can inject it via ``set_segmenter``.
+(tests/japanese.test.ts, tests/mandarin.test.ts) holds under EITHER
+backend — verified in tests/test_cjk.py.  Under the fallback, token
+boundaries differ from ICU on dictionary words of >= 3 chars (ICU:
+東京大学 -> 東京|大学; bigram: 東京|京大|大学); the default dictionary
+backend removes that divergence (differential-fuzzed against
+``Intl.Segmenter`` — tests/test_cjk_dict.py).
 """
 
 from __future__ import annotations
@@ -106,12 +110,25 @@ def segment_bigram(text: str) -> List[str]:
     return tokens
 
 
-_SEGMENTER: Callable[[str], List[str]] = segment_bigram
+def _default_segmenter() -> Callable[[str], List[str]]:
+    """ICU-parity dictionary segmentation (cjk_dict) when the cjdict
+    data file ships; han-bigram fallback otherwise."""
+    try:
+        from .cjk_dict import dictionary_available, segment_dict
+
+        if dictionary_available():
+            return segment_dict
+    except Exception:
+        pass
+    return segment_bigram
+
+
+_SEGMENTER: Callable[[str], List[str]] = _default_segmenter()
 
 
 def set_segmenter(fn: Callable[[str], List[str]]) -> None:
-    """Swap the segmentation backend (e.g. a PyICU BreakIterator
-    wrapper) — the seam ``Intl.Segmenter`` occupies in the reference."""
+    """Swap the segmentation backend — the seam ``Intl.Segmenter``
+    occupies in the reference."""
     global _SEGMENTER
     _SEGMENTER = fn
 

@@ -64,11 +64,14 @@ class TestSegmenter:
 
     def test_tokenizer_dedupe_and_skip(self):
         tok = Tokenizer(TokenizerConfig(language="japanese"))
-        assert tok.tokenize("東京東京") == ["東京", "京東"]  # deduped bigrams
+        # dict segmenter (default): 東京東京 -> 東京|東京, deduped;
+        # the bigram fallback's 東京|京東 is pinned via segment_bigram
+        assert tok.tokenize("東京東京") == ["東京"]
         tok_dup = Tokenizer(
             TokenizerConfig(language="japanese", allow_duplicates=True)
         )
         assert tok_dup.tokenize("東京 東京") == ["東京", "東京"]
+        assert segment_bigram("東京東京") == ["東京", "京東", "東京"]
 
 
 def _oracle(lang, names):
