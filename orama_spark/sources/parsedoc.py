@@ -22,7 +22,8 @@ TransformFn seam (tag/content rewrites; raw rewrites re-parse the
 fragment, index.ts:150-178).
 
 Markdown support covers the block constructs the reference test corpus
-uses (ATX headings, paragraphs, fenced code) — full CommonMark is out of
+uses plus setext headings, lists, blockquotes, thematic breaks (see
+markdown_to_html) — inline CommonMark constructs are out of
 scope and documented in COVERAGE.md.
 
 Spark surface: ``parse_records_df`` maps the pure-Python parser over an
@@ -297,13 +298,25 @@ def _merge_into_last(records: List[dict], content: str, properties: dict) -> Non
 
 _FENCE = re.compile(r"^```")
 _ATX = re.compile(r"^(#{1,6})\s+(.*?)\s*#*\s*$")
+_SETEXT_H1 = re.compile(r"^=+\s*$")
+_SETEXT_H2 = re.compile(r"^-+\s*$")
+_BULLET = re.compile(r"^[-*+]\s+(.*)$")
+_ORDERED = re.compile(r"^(\d{1,9})[.)]\s+(.*)$")
+_QUOTE = re.compile(r"^>\s?(.*)$")
+_HR = re.compile(r"^ {0,3}((\*\s*){3,}|(-\s*){3,}|(_\s*){3,})$")
 
 
 def markdown_to_html(md: str) -> str:
-    """Minimal md->html for the block constructs the reference test
-    corpus uses (ATX headings, paragraphs, fenced code). The reference
-    additionally runs rehype-document, which adds a DOCTYPE — emitted
-    here so paths match (root[1].html[...])."""
+    """md->html for the CommonMark block constructs the reference's
+    remark-parse/remark-rehype pipeline maps to HTML elements: ATX +
+    setext headings, paragraphs, fenced code, unordered/ordered lists
+    (tight; ``start`` attribute per CommonMark when the first ordered
+    marker is not 1), blockquotes (consecutive quote lines merge into
+    one element, per the CommonMark lazy-continuation rule for the
+    common prefixed form), and thematic breaks. Inline constructs and
+    nested containers are out of scope (documented in COVERAGE.md).
+    The reference additionally runs rehype-document, which adds a
+    DOCTYPE — emitted here so paths match (root[1].html[...])."""
     lines = md.split("\n")
     out, para, i = [], [], 0
 
@@ -325,6 +338,48 @@ def markdown_to_html(md: str) -> str:
         elif m := _ATX.match(ln):
             flush()
             out.append(f"<h{len(m.group(1))}>{m.group(2)}</h{len(m.group(1))}>")
+        elif para and _SETEXT_H1.match(ln):
+            # setext: the pending paragraph becomes the heading
+            out.append(f"<h1>{' '.join(para)}</h1>")
+            para.clear()
+        elif para and _SETEXT_H2.match(ln):
+            out.append(f"<h2>{' '.join(para)}</h2>")
+            para.clear()
+        elif _HR.match(ln) and not para:
+            # a ---/***/___ run with no pending paragraph is a
+            # thematic break (with one pending, --- was setext above)
+            out.append("<hr/>")
+        elif m := _BULLET.match(ln):
+            flush()
+            marker = ln.lstrip()[0]
+            items = [m.group(1).strip()]
+            while (
+                i + 1 < len(lines)
+                and (m2 := _BULLET.match(lines[i + 1]))
+                and lines[i + 1].lstrip()[0] == marker  # CommonMark: a
+                # different bullet char starts a new list
+            ):
+                items.append(m2.group(1).strip())
+                i += 1
+            out.append("<ul>" + "".join(f"<li>{it}</li>" for it in items) + "</ul>")
+        elif m := _ORDERED.match(ln):
+            flush()
+            start = int(m.group(1))
+            items = [m.group(2).strip()]
+            while i + 1 < len(lines) and (m2 := _ORDERED.match(lines[i + 1])):
+                items.append(m2.group(2).strip())
+                i += 1
+            attr = f' start="{start}"' if start != 1 else ""
+            out.append(f"<ol{attr}>" + "".join(f"<li>{it}</li>" for it in items) + "</ol>")
+        elif m := _QUOTE.match(ln):
+            flush()
+            quoted = [m.group(1)]
+            while i + 1 < len(lines) and (m2 := _QUOTE.match(lines[i + 1])):
+                quoted.append(m2.group(1))
+                i += 1
+            inner = markdown_to_html("\n".join(quoted))
+            body = inner.split("<body>", 1)[1].rsplit("</body>", 1)[0]
+            out.append("<blockquote>" + body + "</blockquote>")
         elif not ln.strip():
             flush()
         else:

@@ -85,6 +85,54 @@ class TestReferenceExpectations:
             ("p", "Some more content", "markdown.md/root[1].html[1].body[3]"),
         ]
 
+    def test_markdown_setext_headings(self):
+        r = parse_md_records("Title Line\n==========\n\nSection\n-------\n\ntext\n")
+        assert [(x["type"], x["content"]) for x in r] == [
+            ("h1", "Title Line"), ("h2", "Section"), ("p", "text")]
+
+    def test_markdown_setext_multiline_paragraph(self):
+        # the WHOLE pending paragraph becomes the heading (CommonMark)
+        r = parse_md_records("Two\nLines\n===\n")
+        assert [(x["type"], x["content"]) for x in r] == [("h1", "Two Lines")]
+
+    def test_markdown_lists(self):
+        r = parse_md_records("- alpha\n- beta\n\n1. one\n2. two\n")
+        assert [(x["type"], x["content"], x["path"]) for x in r] == [
+            ("li", "alpha beta", "root[1].html[1].body[0].ul[0]"),
+            ("li", "one two", "root[1].html[1].body[1].ol[0]"),
+        ]
+
+    def test_markdown_list_marker_change_starts_new_list(self):
+        r = parse_md_records("- alpha\n* beta\n")
+        assert [x["path"] for x in r] == [
+            "root[1].html[1].body[0].ul[0]",
+            "root[1].html[1].body[1].ul[0]",
+        ]
+
+    def test_markdown_ordered_start_attr(self):
+        r = parse_md_records("5. five\n6. six\n", merge_strategy="split")
+        assert [(x["type"], x["content"]) for x in r] == [
+            ("li", "five"), ("li", "six")]
+        from orama_spark.sources.parsedoc import markdown_to_html
+
+        assert '<ol start="5">' in markdown_to_html("5. five\n6. six\n")
+
+    def test_markdown_blockquote(self):
+        r = parse_md_records("> quoted text\n> more quote\n\n> ## quoted heading\n> qp\n")
+        assert [(x["type"], x["content"], x["path"]) for x in r] == [
+            ("p", "quoted text more quote", "root[1].html[1].body[0].blockquote[0]"),
+            ("h2", "quoted heading", "root[1].html[1].body[1].blockquote[0]"),
+            ("p", "qp", "root[1].html[1].body[1].blockquote[1]"),
+        ]
+
+    def test_markdown_thematic_break(self):
+        from orama_spark.sources.parsedoc import markdown_to_html
+
+        html = markdown_to_html("para\n\n---\n\nafter\n")
+        assert "<hr/>" in html
+        # --- directly under a paragraph line is setext h2, not a break
+        assert "<h2>para</h2>" in markdown_to_html("para\n---\n")
+
     def test_merge_first_property_wins(self):
         r = parse_html_records(_rd("merge-properties.html"))
         assert r == [
