@@ -125,6 +125,23 @@ def token_shingles(col: Column, n: int = 3) -> Column:
     return _shingles(col)
 
 
+def _pin_pair_join(df: DataFrame, *keys: str) -> DataFrame:
+    """Pin the shuffle partitioning (count AND keys) feeding a
+    pair-generating self-join.
+
+    The join OUTPUT of a within-bucket pair join can be orders of
+    magnitude larger than its input; AQE sizes (and coalesces) the
+    input exchange from input bytes, so at 10x data the sf1.0 leg
+    measured entire pair explosions landing in ONE task (519 s
+    ngram-jaccard, 800+ s minhash agreement — SCALE_r04.json). A
+    user-specified repartition is exempt from AQE coalescing; both
+    sides of the self-join reuse the same partitioning, so this adds
+    no extra shuffle — it only fans the explosion across the cluster.
+    """
+    p = df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(p, *keys)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -158,6 +175,7 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(keep, "shingle", "left_semi")
+    sh = _pin_pair_join(sh, "shingle")
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (
@@ -298,6 +316,7 @@ def minhash_lsh_pairs(
         ["band", "bh"],
         "left_semi",
     )
+    buckets = _pin_pair_join(buckets, "band", "bh")
     a = buckets.alias("a")
     b = buckets.alias("b")
     # compute the signature-agreement estimate BEFORE deduplicating the
@@ -391,6 +410,7 @@ def simhash_pairs(
             )
         ).alias("ck"),
     ).select("id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.cv").alias("cv"))
+    chunks = _pin_pair_join(chunks, "chunk", "cv")
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (
@@ -469,6 +489,7 @@ def embedding_dup_pairs(
         .select("sk")
     )
     e = e.join(ok, "sk", "left_semi")
+    e = _pin_pair_join(e, "sk")
     a = e.alias("a")
     b = e.alias("b")
     dot = F.aggregate(

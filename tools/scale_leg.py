@@ -279,13 +279,25 @@ def leg_b(spark) -> dict:
         timings["_warmup_and_main_build"] = round(time.time() - t0, 3)
         for name, fn in qs.items():
             try:
-                timings[name] = timed_min(
-                    lambda: fn(spark, sf_dir).collect(), reps=2
-                )
+                # adaptive reps: min-of-2 for ordinary queries; a first
+                # rep over 60 s IS the number (re-running a multi-minute
+                # pairwise join doubles leg cost for no extra signal)
+                t0 = time.time()
+                fn(spark, sf_dir).collect()
+                first = time.time() - t0
+                if first <= 60:
+                    t0 = time.time()
+                    fn(spark, sf_dir).collect()
+                    timings[name] = round(min(first, time.time() - t0), 3)
+                else:
+                    timings[name] = round(first, 3)
             except Exception as e:  # record, don't abort the leg
                 timings[name] = f"ERR {type(e).__name__}"
             print(f"  [{label}] {name}: {timings[name]}", file=sys.stderr,
                   flush=True)
+            # crash-safe: persist partials after every query
+            with open(OUT_PATH + ".partial", "w") as f:
+                json.dump({**out, label: timings}, f)
         out[label] = timings
     growth = {}
     for name, small in out["sf0.1"].items():
