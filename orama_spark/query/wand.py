@@ -127,7 +127,8 @@ CHAMPION_POSTINGS_PER_BLOCK = 128
 
 
 def _score_blocks_fn(avgs: dict, n_docs: float, bm25_params, clipped: bool,
-                     with_key: bool = False, top_n: Optional[int] = None):
+                     with_key: bool = False, top_n: Optional[int] = None,
+                     group_col: Optional[str] = None):
     """Arrow kernel: block rows -> (orig docid, per-posting BM25 score).
 
     Decode (varint internal deltas + orig docids + field lens) and score
@@ -178,6 +179,14 @@ def _score_blocks_fn(avgs: dict, n_docs: float, bm25_params, clipped: bool,
                             }
                         )
                     )
+                elif group_col is not None:
+                    outs.append(pd.DataFrame({
+                        group_col: np.full(
+                            len(origs), getattr(r, group_col), dtype=object
+                        ),
+                        "docid": origs,
+                        "s": s,
+                    }))
                 else:
                     outs.append(pd.DataFrame({"docid": origs, "s": s}))
             if outs:
@@ -627,6 +636,123 @@ class BlockIndex:
             .select("docid", "score")
         )
         return scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+    def wand_topk_many(self, queries: dict, k: int = 10) -> DataFrame:
+        """Batched exact-term BM25 top-k over N queries with ONE
+        champions collect, ONE metadata collect and ONE decode+score
+        job.  Single-query ``wand_topk`` pays ~3 driver jobs of fixed
+        latency per query — on short queries that overhead dominates
+        the 50-100x posting-decode savings pruning buys (SCALE_r04
+        measured latency parity vs the plain path at 2M docs despite a
+        98% block-prune rate).  Batching amortizes the fixed jobs
+        across the whole workload, which is also the realistic serving
+        shape for a 100 TB cluster (queries arrive in batches; each
+        executor decodes each surviving clip once per query).
+
+        ``queries``: {qid: term_text}.  Returns (qid, docid, score),
+        per-qid rank-identical with ``wand_topk`` (same θ seed, same
+        exact interval sweep, same clip semantics; ties score DESC,
+        docid ASC).  Falls back to unioned per-query ``wand_topk``
+        when champion lists are absent or the batch's block metadata
+        exceeds ``driver_sweep_max_blocks * len(queries)``.
+        """
+        from pyspark.sql.window import Window as W
+
+        out_schema = "qid string, docid long, score double"
+        qtoks = {
+            str(qid): self.tokenizer.tokenize(text)
+            for qid, text in dict(queries).items()
+        }
+        qtoks = {q: t for q, t in qtoks.items() if t}
+        if not qtoks:
+            return self.spark.createDataFrame([], out_schema)
+
+        def _fallback() -> DataFrame:
+            parts = [
+                self.wand_topk(text, k=k).select(
+                    F.lit(str(qid)).alias("qid"), "docid", "score"
+                )
+                for qid, text in dict(queries).items()
+                if self.tokenizer.tokenize(text)
+            ]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            return df
+
+        if self.champions is None:
+            return _fallback()
+        fields = self.config.searchable_fields
+        all_tokens = sorted({t for toks in qtoks.values() for t in toks})
+        meta = self.blocks.where(
+            F.col("term").isin(all_tokens) & F.col("field").isin(fields)
+        )
+        cap = self.driver_sweep_max_blocks * max(1, len(qtoks))
+        rows = meta.select(
+            "field", "term", "first_docid", "last_docid",
+            "max_score", "min_score",
+        ).limit(cap + 1).collect()
+        if len(rows) > cap:
+            return _fallback()
+        pool = self.champions.where(
+            F.col("term").isin(all_tokens) & F.col("field").isin(fields)
+        ).select("term", "docid", "s").toPandas()
+
+        surv_rows = []
+        theta_rows = []
+        for qid, toks in qtoks.items():
+            tokset = set(toks)
+            rows_q = [r for r in rows if r["term"] in tokset]
+            sub = pool[pool["term"].isin(tokset)]
+            sums = sub.groupby("docid")["s"].sum().sort_values(ascending=False)
+            theta = float(sums.iloc[k - 1]) if len(sums) >= k else 0.0
+            # negative-min_score adjustment, as in the single path
+            mins: dict = {}
+            for r in rows_q:
+                key = (r["field"], r["term"])
+                mins[key] = min(mins.get(key, float("inf")), r["min_score"])
+            theta += sum(min(0.0, v) for v in mins.values())
+            theta_rows.append((qid, theta))
+            surv = self._driver_sweep(rows_q, theta)
+            if surv is not None:
+                surv_rows.extend((qid, *s) for s in surv)
+        if not surv_rows:
+            return self.spark.createDataFrame([], out_schema)
+        surv_df = self.spark.createDataFrame(
+            surv_rows, "qid string, " + _SURVIVOR_SCHEMA
+        )
+        kept = meta.join(
+            F.broadcast(surv_df), ["field", "term", "first_docid"]
+        ).repartition(1)
+        avgs = {
+            f_: float(v["avg_field_length"])
+            for f_, v in self.stats["fields"].items()
+        }
+        scored = kept.mapInPandas(
+            _score_blocks_fn(
+                avgs, float(self.stats["docs_count"]), self.config.bm25,
+                clipped=True, group_col="qid",
+            ),
+            "qid string, docid long, s double",
+        )
+        theta_df = F.broadcast(
+            self.spark.createDataFrame(theta_rows, "qid string, theta double")
+        )
+        agg = (
+            scored.groupBy("qid", "docid")
+            .agg(F.sum("s").alias("score"))
+            .join(theta_df, "qid")
+            .where(
+                (F.col("theta") <= 0.0)
+                | (F.col("score") >= F.col("theta") * (1.0 - _EPS))
+            )
+        )
+        w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+        return (
+            agg.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k)
+            .select("qid", "docid", "score")
+        )
 
     def pruning_stats(self, term: str, k: int = 10) -> dict:
         """Diagnostics: how many blocks the docid-aligned sweep keeps."""

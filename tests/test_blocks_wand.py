@@ -123,6 +123,42 @@ class TestWand:
         _, blocks = indexes
         assert blocks.wand_topk("zzzznotaword", k=5).collect() == []
 
+    def test_batched_matches_single(self, indexes):
+        # wand_topk_many: N queries, one champions collect + one
+        # metadata collect + one decode job; per-qid rank identity
+        # with the single-query path
+        _, blocks = indexes
+        queries = {
+            "q1": "fox",
+            "q2": "search engine",
+            "q3": "distributed computing science",
+            "q4": "zzzznotaword",
+        }
+        got = blocks.wand_topk_many(queries, k=10).collect()
+        by_qid: dict = {}
+        for r in got:
+            by_qid.setdefault(r["qid"], []).append((r["docid"], r["score"]))
+        assert "q4" not in by_qid
+        for qid, text in list(queries.items())[:3]:
+            want = [
+                (r["docid"], r["score"])
+                for r in blocks.wand_topk(text, k=10).collect()
+            ]
+            have = by_qid.get(qid, [])
+            assert [h[0] for h in have] == [w[0] for w in want], qid
+            for (hi, hs), (wi, ws) in zip(have, want):
+                assert hs == pytest.approx(ws, rel=1e-9)
+
+    def test_batched_fallback_without_champions(self, indexes):
+        _, blocks = indexes
+        import copy
+
+        nochamp = copy.copy(blocks)
+        nochamp.champions = None
+        got = nochamp.wand_topk_many({"a": "fox"}, k=5).collect()
+        want = blocks.wand_topk("fox", k=5).collect()
+        assert [(r["docid"],) for r in got] == [(r["docid"],) for r in want]
+
     def test_pruning_actually_prunes(self, indexes):
         _, blocks = indexes
         st = blocks.pruning_stats("fox dog quick", k=10)
