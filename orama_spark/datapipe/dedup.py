@@ -459,6 +459,14 @@ def embedding_dup_pairs(
     else:
         planes = np.asarray(planes, dtype=np.float64)
         n_planes = planes.shape[0]
+    # NOTE on parallelism: the bucket join is deliberately NOT pinned
+    # (unlike the shingle/band/chunk pair joins): forcing an exchange
+    # here demotes the higher-order cosine/sketch expressions out of
+    # whole-stage codegen (measured 10-30x slower at bench scale).
+    # While the embeddings side fits the broadcast threshold the whole
+    # chain stays codegen'd; past it Spark's own sk-shuffle join runs
+    # at full shuffle parallelism, and the max_bucket_size cap bounds
+    # the per-bucket quadratic work either way.
     sketch = F.concat(
         *[
             F.when(
@@ -489,7 +497,6 @@ def embedding_dup_pairs(
         .select("sk")
     )
     e = e.join(ok, "sk", "left_semi")
-    e = _pin_pair_join(e, "sk")
     a = e.alias("a")
     b = e.alias("b")
     dot = F.aggregate(
