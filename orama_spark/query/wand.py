@@ -274,11 +274,81 @@ class BlockIndex:
         self.champions = champions
         self.driver_sweep_max_blocks = driver_sweep_max_blocks
         self.tokenizer = Tokenizer(config.tokenizer)
+        # Driver-side per-term metadata + champion caches (every real
+        # WAND serving system keeps posting metadata in the
+        # coordinator). Sound because blocks/champions are immutable
+        # for the lifetime of this instance (the build stamp checked at
+        # load() invalidates on any rebuild/maintenance). Bounded:
+        # wholesale-cleared past metadata_cache_max_terms.
+        self.metadata_cache_max_terms = 4096
+        self._meta_cache: dict = {}   # term -> list[dict] | "OVER_CAP"
+        self._champ_cache: dict = {}  # term -> pd.DataFrame(term,docid,s)
         # sweep granularity: each bucket sees the block *metadata*
         # overlapping ~1/sweep_buckets of the internal docid span; raise
         # it on a real cluster so per-bucket metadata stays small
         # (~blocks_per_term / sweep_buckets rows per term per bucket).
         self.sweep_buckets = sweep_buckets
+
+
+    # ---------------------------------------------------- driver caches
+
+    def _meta_rows(self, tokens):
+        """Block metadata rows for the query terms from the per-term
+        driver cache; one bounded collect fetches only the missing
+        terms. Returns None when the query's metadata exceeds
+        driver_sweep_max_blocks (the distributed-sweep path)."""
+        if len(self._meta_cache) > self.metadata_cache_max_terms:
+            self._meta_cache.clear()
+        cap = self.driver_sweep_max_blocks
+        missing = [t for t in tokens if t not in self._meta_cache]
+        if missing:
+            fetched = (
+                self.blocks.where(
+                    F.col("term").isin(missing)
+                    & F.col("field").isin(self.config.searchable_fields)
+                )
+                .select("field", "term", "first_docid", "last_docid",
+                        "max_score", "min_score")
+                .limit(cap + 1)
+                .collect()
+            )
+            if len(fetched) > cap:
+                # cannot attribute rows per term safely; none cached
+                return None
+            by_term: dict = {t: [] for t in missing}
+            for r in fetched:
+                by_term[r["term"]].append(r.asDict())
+            self._meta_cache.update(by_term)
+        rows: list = []
+        for t in tokens:
+            got = self._meta_cache.get(t)
+            if got == "OVER_CAP":
+                return None
+            rows.extend(got or [])
+        if len(rows) > cap:
+            return None
+        return rows
+
+    def _champ_pool(self, tokens):
+        """Champion (term, docid, s) pool for the query terms from the
+        per-term driver cache; one toPandas fetches missing terms.
+        Pool size is bounded per term by the champion-list build."""
+        import pandas as _pd
+
+        if len(self._champ_cache) > self.metadata_cache_max_terms:
+            self._champ_cache.clear()
+        missing = [t for t in tokens if t not in self._champ_cache]
+        if missing:
+            fetched = self.champions.where(
+                F.col("term").isin(missing)
+                & F.col("field").isin(self.config.searchable_fields)
+            ).select("term", "docid", "s").toPandas()
+            for t in missing:
+                self._champ_cache[t] = fetched[fetched["term"] == t]
+        parts = [self._champ_cache[t] for t in tokens if t in self._champ_cache]
+        if not parts:
+            return _pd.DataFrame({"term": [], "docid": [], "s": []})
+        return _pd.concat(parts, ignore_index=True)
 
     # ------------------------------------------------------------ build
     @classmethod
@@ -478,10 +548,7 @@ class BlockIndex:
             # a few thousand rows for any human query), so one bounded
             # collect beats a groupBy→sort→limit shuffle chain; θ then
             # rides into both phases as a 1-row local broadcast frame.
-            pool = self.champions.where(
-                F.col("term").isin(tokens)
-                & F.col("field").isin(self.config.searchable_fields)
-            ).select("docid", "s").toPandas()
+            pool = self._champ_pool(tokens)
             sums = pool.groupby("docid")["s"].sum().sort_values(ascending=False)
             theta = float(sums.iloc[k - 1]) if len(sums) >= k else 0.0
             # bounded driver sweep: when the query terms' block METADATA
@@ -493,12 +560,8 @@ class BlockIndex:
             # Huge-df terms exceed the cap and take the distributed
             # sweep unchanged — same bounded-collect class as the
             # engine's top-k/expansion collects.
-            cap = self.driver_sweep_max_blocks
-            rows = meta.select(
-                "field", "term", "first_docid", "last_docid",
-                "max_score", "min_score",
-            ).limit(cap + 1).collect()
-            if len(rows) <= cap:
+            rows = self._meta_rows(tokens)
+            if rows is not None:
                 # θ adjustment (see adj_df comment), computed from the
                 # already-collected full metadata
                 mins: dict = {}
@@ -687,16 +750,15 @@ class BlockIndex:
         meta = self.blocks.where(
             F.col("term").isin(all_tokens) & F.col("field").isin(fields)
         )
-        cap = self.driver_sweep_max_blocks * max(1, len(qtoks))
-        rows = meta.select(
-            "field", "term", "first_docid", "last_docid",
-            "max_score", "min_score",
-        ).limit(cap + 1).collect()
-        if len(rows) > cap:
+        saved_cap = self.driver_sweep_max_blocks
+        self.driver_sweep_max_blocks = saved_cap * max(1, len(qtoks))
+        try:
+            rows = self._meta_rows(all_tokens)
+        finally:
+            self.driver_sweep_max_blocks = saved_cap
+        if rows is None:
             return _fallback()
-        pool = self.champions.where(
-            F.col("term").isin(all_tokens) & F.col("field").isin(fields)
-        ).select("term", "docid", "s").toPandas()
+        pool = self._champ_pool(all_tokens)
 
         surv_rows = []
         theta_rows = []
