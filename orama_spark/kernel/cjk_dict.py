@@ -60,6 +60,7 @@ _MARKS = _HALF_MARKS | _COMB_MARKS
 
 _WORDS: Optional[Dict[str, int]] = None
 _MAXLEN: Dict[str, int] = {}
+_MAXLEN2: Dict[str, int] = {}  # first-2-chars -> longest word length
 
 
 def dictionary_available() -> bool:
@@ -71,15 +72,21 @@ def _load() -> Dict[str, int]:
     if _WORDS is None:
         words: Dict[str, int] = {}
         maxlen = _MAXLEN
+        maxlen2 = _MAXLEN2
         with gzip.open(DATA_PATH, "rt", encoding="utf-8") as f:
             for line in f:
                 if line.startswith("#"):
                     continue
                 w, _, v = line.rstrip("\n").partition("\t")
                 words[w] = int(v)
+                lw = len(w)
                 c = w[0]
-                if len(w) > maxlen.get(c, 0):
-                    maxlen[c] = len(w)
+                if lw > maxlen.get(c, 0):
+                    maxlen[c] = lw
+                if lw >= 2:
+                    p2 = w[:2]
+                    if lw > maxlen2.get(p2, 0):
+                        maxlen2[p2] = lw
         _WORDS = words
     return _WORDS
 
@@ -103,34 +110,46 @@ def cj_viterbi(text: str) -> List[int]:
         return []
     if n == 1:
         return [1]
+    get = words.get
+    m2get = _MAXLEN2.get
     best = [0.0] + [_INF] * n
     prev = [-1] * (n + 1)
+    prev_kata = False
     for i in range(n):
+        ch = text[i]
+        cp = ord(ch)
+        is_kata = (0x30A1 <= cp <= 0x30FE and cp != 0x30FB) or (
+            0xFF66 <= cp <= 0xFF9F
+        )
         bi = best[i]
         if bi == _INF:
+            prev_kata = is_kata
             continue
-        maxlen = _MAXLEN.get(text[i], 0)
-        if maxlen > n - i:
-            maxlen = n - i
-        have_one = False
-        count = 0
-        for l in range(1, maxlen + 1):
-            v = words.get(text[i : i + l])
-            if v is not None:
-                if count == 0 and l == 1:
-                    have_one = True
-                count += 1
-                ns = bi + v
-                if ns < best[i + l]:
-                    best[i + l] = ns
-                    prev[i + l] = i
-        ch = ord(text[i])
-        if (count == 0 or not have_one) and not (0xAC00 <= ch <= 0xD7A3):
+        # 1-char word; ICU's fallback condition (count==0 ||
+        # lengths[0]!=1) is exactly "no 1-char dictionary match"
+        v = get(ch)
+        if v is not None:
+            ns = bi + v
+            if ns < best[i + 1]:
+                best[i + 1] = ns
+                prev[i + 1] = i
+        elif not 0xAC00 <= cp <= 0xD7A3:
             ns = bi + MAX_SNLP
             if ns < best[i + 1]:
                 best[i + 1] = ns
                 prev[i + 1] = i
-        if _is_katakana(ch) and not (i > 0 and _is_katakana(ord(text[i - 1]))):
+        if n - i >= 2:
+            maxlen = m2get(text[i : i + 2], 0)
+            if maxlen > n - i:
+                maxlen = n - i
+            for l in range(2, maxlen + 1):
+                v = get(text[i : i + l])
+                if v is not None:
+                    ns = bi + v
+                    if ns < best[i + l]:
+                        best[i + l] = ns
+                        prev[i + l] = i
+        if is_kata and not prev_kata:
             j = i + 1
             while j < n and (j - i) < MAX_KATA_GROUP and _is_katakana(ord(text[j])):
                 j += 1
@@ -139,6 +158,7 @@ def cj_viterbi(text: str) -> List[int]:
                 if ns < best[j]:
                     best[j] = ns
                     prev[j] = i
+        prev_kata = is_kata
     if best[n] == _INF:
         return [n]
     bounds: List[int] = []
@@ -194,6 +214,28 @@ def _viterbi_units(units: List[Tuple[str, str]], out: List[str]) -> None:
 def segment_cj_run(text: str) -> List[str]:
     """Segment one contiguous Han/Hiragana/Katakana run (which may
     contain kana voicing marks)."""
+    # fast path: no voicing marks and every char NFKC-stable (all
+    # standard han/kana; the only unstable chars a run can contain are
+    # compat ideographs U+F900-FAFF and halfwidth kana U+FF66-FF9F) —
+    # Viterbi directly on the text, no unit bookkeeping
+    fast = True
+    for c in text:
+        cp = ord(c)
+        if (
+            0xF900 <= cp <= 0xFAFF
+            or 0xFF66 <= cp <= 0xFF9F
+            or cp == 0x3099
+            or cp == 0x309A
+        ):
+            fast = False
+            break
+    if fast:
+        bounds = cj_viterbi(text)
+        toks, s = [], 0
+        for b in bounds:
+            toks.append(text[s:b])
+            s = b
+        return toks
     out: List[str] = []
     units: List[Tuple[str, str]] = []  # (original, normalized) pending span
     i = 0
