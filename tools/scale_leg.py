@@ -5,28 +5,32 @@ per-query growth can be compared against data volume.
 
 Two legs:
 
-  A. web-corpus scale: 50k -> 500k docs (deterministic synthetic web
-     corpus, full tokenizer profile), corpus PRE-MATERIALIZED to
+  A. web-corpus scale: 50k -> 500k -> 2M docs (deterministic synthetic
+     web corpus, full tokenizer profile), corpus PRE-MATERIALIZED to
      parquet per the BASELINE.md protocol (generation excluded from
      build time). Measures index build (docs/s), BlockIndex build,
      plain vs WAND top-k latency (min-of-reps) and pruning stats at
-     both scales — the WAND-vs-plain crossover the plan-level argument
-     predicted.
+     each scale — the WAND-vs-plain crossover appears where the plain
+     scan outgrows WAND's fixed per-query orchestration (~2-3 s on
+     this box: 3 driver jobs + ~5 stages).
 
   B. driver-query scale: the ENTIRE __spark_entry__.queries() batch at
      sf0.1 (documents=5k rows) and at a synthesized 10x directory
      (documents=50k, embeddings=20k — same schema/vocab/shape,
-     deterministic seed), identical min-of-reps protocol at both, so
-     every operator family (search, facets, geo, dedup self-joins,
-     ANN, text kernels) gets a growth ratio against the 10x data
-     ratio. Super-linear growth (ratio >> 10 for scan-bound ops, or
-     >> quadratic-guard expectations for pairwise ops) is the failure
-     signal.
+     deterministic seed), so every operator family (search, facets,
+     geo, dedup self-joins, ANN, text kernels) gets a growth ratio
+     against the 10x data ratio. Super-linear growth is the failure
+     signal — the round-4 before-run caught exactly that (pair joins
+     AQE-coalesced to one task; fixed by dedup._pin_pair_join, see
+     SCALE_r04.json's before/after records). Reps are adaptive (a
+     first rep over 60 s stands alone) and partials are persisted
+     after every query.
 
 Writes SCALE_r04.json (one JSON object). Run on an otherwise-idle box:
 this VM's vCPU steal contaminates concurrent measurements.
 
 Usage: python tools/scale_leg.py [--leg A|B|all]
+           [--web-scales 50000,500000,2000000]
 """
 
 from __future__ import annotations
@@ -161,23 +165,24 @@ def leg_a(spark) -> dict:
         leg["postings"] = int(bstats["postings"])
         out[str(n)] = leg
         print(json.dumps({f"legA_{n}": leg}), flush=True)
-    a, b = out[str(WEB_SCALES[0])], out[str(WEB_SCALES[1])]
-    out["summary"] = {
-        "data_ratio": WEB_SCALES[1] / WEB_SCALES[0],
-        "build_throughput_ratio": round(
-            b["build_docs_per_sec"] / a["build_docs_per_sec"], 3
-        ),
-        "crossover": {
-            "small_wand_over_plain": a["wand_vs_plain_ratio"],
-            "large_wand_over_plain": b["wand_vs_plain_ratio"],
-            "wand_wins_at_large": b["q_wand"] < b["q_plain_or"],
-        },
-        "query_growth": {
-            k: round(b[k] / a[k], 2)
-            for k in ("q_plain_or", "q_plain_and", "q_plain_prefix",
-                      "q_plain_fuzzy", "q_wand", "q_wand_2")
-        },
-    }
+    if len(WEB_SCALES) >= 2:
+        a, b = out[str(WEB_SCALES[0])], out[str(WEB_SCALES[-1])]
+        out["summary"] = {
+            "data_ratio": WEB_SCALES[-1] / WEB_SCALES[0],
+            "build_throughput_ratio": round(
+                b["build_docs_per_sec"] / a["build_docs_per_sec"], 3
+            ),
+            "crossover": {
+                "small_wand_over_plain": a["wand_vs_plain_ratio"],
+                "large_wand_over_plain": b["wand_vs_plain_ratio"],
+                "wand_wins_at_large": b["q_wand"] < b["q_plain_or"],
+            },
+            "query_growth": {
+                k: round(b[k] / a[k], 2)
+                for k in ("q_plain_or", "q_plain_and", "q_plain_prefix",
+                          "q_plain_fuzzy", "q_wand", "q_wand_2")
+            },
+        }
     return out
 
 
@@ -310,9 +315,15 @@ def leg_b(spark) -> dict:
 
 
 def main() -> None:
+    global WEB_SCALES
     leg = "all"
     if "--leg" in sys.argv:
         leg = sys.argv[sys.argv.index("--leg") + 1]
+    if "--web-scales" in sys.argv:
+        WEB_SCALES = [
+            int(x) for x in
+            sys.argv[sys.argv.index("--web-scales") + 1].split(",")
+        ]
     spark = _spark()
     result: dict = {"protocol": {
         "parallelism": "local[32]",
@@ -326,7 +337,9 @@ def main() -> None:
             except Exception:
                 pass
     if leg in ("A", "all"):
-        result["web_corpus_scale"] = leg_a(spark)
+        prior = result.get("web_corpus_scale", {})
+        prior.update(leg_a(spark))
+        result["web_corpus_scale"] = prior
     if leg in ("B", "all"):
         result["driver_query_scale"] = leg_b(spark)
     with open(OUT_PATH, "w") as f:
