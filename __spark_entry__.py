@@ -453,6 +453,50 @@ def _ja_corpus(spark: SparkSession, sf_dir: str):
     )
 
 
+# Mandarin twin: same dictionary backend (mandarin.ts:23 delegates to
+# the same ICU cjdict word break; ja/zh Intl.Segmenter goldens were
+# verified identical over 6k fuzz cases), distinct vocabulary and
+# wrapper language.
+_ZH_WORDS = ["北京", "大学", "学习", "计算", "科学", "自然",
+             "语言", "处理", "上海", "城市", "系统", "设计"]
+ZH_CONFIG = IndexConfig(
+    schema={"text": "string"},
+    tokenizer=TokenizerConfig(language="mandarin"),
+    docid_col="docid",
+)
+_ZH_CACHE: dict[str, SearchIndex] = {}
+
+
+def _zh_corpus(spark: SparkSession, sf_dir: str):
+    arr = F.array(*[F.lit(w) for w in _ZH_WORDS])
+
+    def word(off: int):
+        return F.element_at(
+            arr, ((F.col("doc_id") * 7 + off) % 12 + 1).cast("int")
+        )
+
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(
+            F.col("doc_id").alias("docid"),
+            F.concat(word(0), word(2), word(9)).alias("text"),
+        )
+    )
+
+
+def _get_zh_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    idx = _ZH_CACHE.get(sf_dir)
+    if idx is not None:
+        return idx
+    out = os.path.join(
+        "/dev/shm/orama_spark_entry_zhidx", os.path.basename(os.path.normpath(sf_dir))
+    )
+    IndexBuilder(ZH_CONFIG).build(_zh_corpus(spark, sf_dir), out, input_id=sf_dir)
+    idx = SearchIndex.load(spark, out, ZH_CONFIG)
+    _ZH_CACHE[sf_dir] = idx
+    return idx
+
+
 def _get_ja_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     idx = _JA_CACHE.get(sf_dir)
     if idx is not None:
@@ -895,6 +939,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sr = idx.search(term="東京図書館", limit=10)
         return sr.top_df().select("docid", _r())
     q["flt_lang_ja"] = flt_lang_ja
+
+    def flt_lang_zh(spark, sf_dir):
+        idx = _get_zh_index(spark, sf_dir)
+        sr = idx.search(term="北京科学", limit=10)
+        return sr.top_df().select("docid", _r())
+    q["flt_lang_zh"] = flt_lang_zh
 
     # string[] incremental maintenance: tombstone/delta-adjusted search
     # over 1-element tag arrays (per-element remove semantics,
@@ -1811,6 +1861,41 @@ tok AS (
 dfreq AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
 n AS (SELECT count(*) AS n FROM documents),
 qt(qtoken) AS (SELECT * FROM (VALUES ('東京'), ('図書館')) v(q)),
+m AS (
+  SELECT DISTINCT tok.docid, tok.term
+  FROM tok JOIN qt ON tok.term LIKE qt.qtoken || '%'
+),
+scored AS (
+  SELECT m.docid,
+         sum( ln(1 + (n.n - f.df + 0.5) / (f.df + 0.5))
+              * (0.5 + (1.0/3.0) * 2.2)
+              / ((1.0/3.0) + 1.2 * (1 - 0.75 + 0.75 * 3.0 / 3.0)) ) AS score
+  FROM m JOIN dfreq f ON f.term = m.term CROSS JOIN n
+  GROUP BY m.docid
+)
+SELECT docid, round(score, 6) AS score
+FROM scored ORDER BY scored.score DESC, docid ASC LIMIT 10
+"""
+
+    # Mandarin twin of flt_lang_ja (same engine path, mandarin
+    # wrapper + zh vocabulary; offsets 0,2,9 with stride 7)
+    sql["flt_lang_zh"] = """
+WITH words(i, w) AS (
+  SELECT * FROM (VALUES
+    (0, '北京'), (1, '大学'), (2, '学习'), (3, '计算'),
+    (4, '科学'), (5, '自然'), (6, '语言'), (7, '处理'),
+    (8, '上海'), (9, '城市'), (10, '系统'), (11, '设计')
+  ) v(i, w)
+),
+tok AS (
+  SELECT d.doc_id AS docid, f.w AS term
+  FROM documents d
+  JOIN words f ON f.i IN ((d.doc_id*7)%12, (d.doc_id*7+2)%12,
+                          (d.doc_id*7+9)%12)
+),
+dfreq AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+qt(qtoken) AS (SELECT * FROM (VALUES ('北京'), ('科学')) v(q)),
 m AS (
   SELECT DISTINCT tok.docid, tok.term
   FROM tok JOIN qt ON tok.term LIKE qt.qtoken || '%'
