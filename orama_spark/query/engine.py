@@ -643,7 +643,31 @@ class SearchIndex:
     def _exact_post_filter(
         self, scored: DataFrame, term: str, props: list[str]
     ) -> DataFrame:
-        return scored.join(self.exact_filter_ids(term, props), "docid", "left_semi")
+        # The reference post-filters the MATCHED hits
+        # (search-fulltext.ts:88-115), so restrict the \b-regex scan to
+        # the BM25-matched docids before evaluating it — at 2M docs the
+        # whole-corpus regex scan was 6-9 s while the matched set is
+        # orders of magnitude smaller (SCALE_r04 wand_crossover notes).
+        docid = self.config.docid_col
+        props = props or self.config.searchable_fields
+        matched = self.docs.join(
+            scored.select(F.col("docid").alias(docid)).distinct(),
+            docid,
+            "left_semi",
+        )
+        search_terms = term.strip().split()
+        per_prop = []
+        for prop in props:
+            cond = F.lit(True)
+            for t in search_terms:
+                pat = r"\b" + _escape_java_regex(t) + r"\b"
+                cond = cond & F.col(prop).cast("string").rlike(pat)
+            per_prop.append(F.col(prop).isNotNull() & cond)
+        any_prop = per_prop[0]
+        for c in per_prop[1:]:
+            any_prop = any_prop | c
+        ok = matched.where(any_prop).select(F.col(docid).alias("docid"))
+        return scored.join(ok, "docid", "left_semi")
 
     # ------------------------------------------------------------ facets
     def facets_df(self, result: SearchResult, prop: str, config: Optional[dict] = None) -> DataFrame:
