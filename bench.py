@@ -166,6 +166,21 @@ def main() -> None:
     timings["web_q_wand2"] = timed_min(
         lambda: bidx.wand_topk("distributed computing analysis", k=10).collect()
     )
+    # batched WAND: 6 queries through ONE champions + ONE metadata +
+    # ONE decode job (wand_topk_many) — the serving shape that
+    # amortizes the fixed per-query driver jobs (SCALE_r04: 4.8x vs
+    # singles at 2M docs)
+    _batch6 = {
+        "q0": "search engine index",
+        "q1": "distributed computing analysis",
+        "q2": "web page content",
+        "q3": "data processing system",
+        "q4": "query language model",
+        "q5": "open source software",
+    }
+    timings["web_q_wand_batch6"] = timed_min(
+        lambda: bidx.wand_topk_many(_batch6, k=10).collect()
+    )
     extras["wand_pruning_2"] = bidx.pruning_stats(
         "distributed computing analysis", k=10
     )
