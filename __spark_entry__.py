@@ -1105,6 +1105,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_token_stats"] = tokstats
 
+    # BPE-style token counting (GPT-2 pre-tokenizer split, RE2-safe
+    # variant — the standard LLM-token-budget proxy; pure-Column
+    # regexp_count, map-only)
+    def bpe_tokens(spark, sf_dir):
+        from orama_spark.datapipe.text_quality import bpe_token_count
+
+        return bpe_token_count(_docs(spark, sf_dir)).select(
+            F.col("id").alias("docid"),
+            F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+    q["text_bpe_tokens"] = bpe_tokens
+
     def winnow(spark, sf_dir):
         from orama_spark.datapipe.text_quality import winnowing_fingerprints
 
@@ -2255,6 +2267,15 @@ m AS (
 SELECT doc_id AS docid, len(fps) AS n_fingerprints,
        list_min(fps) AS fp_min, list_max(fps) AS fp_max
 FROM m
+"""
+
+    # same pattern literal as datapipe.text_quality.BPE_SPLIT_PATTERN
+    # (doubled quotes for SQL); cross-engine equivalence pinned in
+    # test_datapipe
+    sql["text_bpe_tokens"] = """
+SELECT doc_id AS docid,
+       len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\p{L}\p{N}]+|[ \t\n\r\f]+', 0)) AS n_bpe_tokens
+FROM documents
 """
 
     sql["text_token_stats"] = r"""

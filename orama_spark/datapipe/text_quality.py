@@ -47,6 +47,38 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+# GPT-2-style pre-tokenization split (the regex BPE tokenizers apply
+# BEFORE merges — public: openai/gpt-2 encoder.py). Two deliberate
+# portability changes so Spark (Java regex) and the DuckDB oracle
+# (RE2) evaluate the IDENTICAL pattern: the trailing-space lookahead
+# `\s+(?!\S)` is dropped (RE2 has no lookahead; interior space runs
+# collapse into the following ` ?\p{L}+`-class token anyway for the
+# common case) and `\s` is the explicit class [ \t\n\r\f] (the engines'
+# \s classes differ at \x0B — see portable_hash.WS_CLASS).
+BPE_SPLIT_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+"
+    r"| ?[^ \t\n\r\f\p{L}\p{N}]+"
+    r"|[ \t\n\r\f]+"
+)
+
+
+def bpe_token_count(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_bpe_tokens): pre-tokenizer piece count per document —
+    the standard proxy for LLM token budgets over a corpus (actual BPE
+    merges only ever merge WITHIN these pieces, so the piece count
+    upper-bounds and tracks the true token count). Pure-Column
+    regexp_count: map-only, whole-stage codegen, no Python."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_SPLIT_PATTERN)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
 def _quality_counts_kernel():
     """ONE Arrow pass computing every char/token count the quality score
     needs. The previous formulation was 8 higher-order / regexp

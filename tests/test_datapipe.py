@@ -722,3 +722,38 @@ class TestRealPngDecode:
         f = multimodal.extract_features(df, strict=True).collect()[0]["feature"]
         assert f[0] == 4.0 and f[1] == 6.0
         assert abs(f[2] - 200 / 255) < 1e-6 and abs(f[5]) < 1e-6
+
+
+class TestBpeTokenCount:
+    def test_cross_engine_pattern_equivalence(self, spark):
+        """The Spark (Java regex) and DuckDB (RE2) evaluations of
+        BPE_SPLIT_PATTERN must agree piece-for-piece — the oracle's
+        soundness rests on it."""
+        import duckdb
+
+        from orama_spark.datapipe.text_quality import (
+            BPE_SPLIT_PATTERN, bpe_token_count,
+        )
+
+        samples = ["hello world", "it's 2024!", "a  b\tc\n", "", "café über",
+                   "x86-64 (fast)", "don't stop", "...!!!", "word",
+                   "I'll they're we've he'd isn't", "  leading", "trail  "]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(samples)], "doc_id long, text string"
+        )
+        got = {r["id"]: r["n_bpe_tokens"]
+               for r in bpe_token_count(df).collect()}
+        con = duckdb.connect()
+        for i, s in enumerate(samples):
+            want = con.sql(
+                "SELECT len(regexp_extract_all(?, ?))",
+                params=[s, BPE_SPLIT_PATTERN],
+            ).fetchone()[0]
+            assert got[i] == want, (s, got[i], want)
+
+    def test_contraction_pieces(self, spark):
+        from orama_spark.datapipe.text_quality import bpe_token_count
+
+        df = spark.createDataFrame([(0, "don't")], "doc_id long, text string")
+        # don + 't = 2 pieces (the contraction alternates split it)
+        assert bpe_token_count(df).collect()[0]["n_bpe_tokens"] == 2
