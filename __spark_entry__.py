@@ -1008,7 +1008,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         planted = docs.where(F.col("doc_id") % 100 == 3).crossJoin(copies).select(
             (F.col("doc_id") + F.col("k")).alias("doc_id"), "text"
         )
-        return exact_duplicates(docs.unionByName(planted), max_ids=5)
+        # Driver harness canonicalizes via pandas sort_values, which
+        # cannot hash list cells — project the bounded id sample to a
+        # scalar CSV string (the oracle does the same with
+        # array_to_string) so every output column is atomic.
+        return exact_duplicates(docs.unionByName(planted), max_ids=5).withColumn(
+            "all_ids", F.array_join(F.col("all_ids").cast("array<string>"), ",")
+        )
     q["dedup_exact_capped"] = dedup_exact_capped
 
     # token counting (text-analysis op, shares the engine tokenizer)
@@ -1425,10 +1431,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new-this-round ones) to the FRONT so the record can't go stale
     # on them again.
     front = [
-        "flt_batch", "decontaminate",
-        "flt_after_update", "flt_after_upsert",
-        "flt_lang_ja", "flt_lang_zh", "flt_dup_tf",
-        "parsedoc_markdown", "dedup_exact_capped", "image_png_features",
+        # the 10 rows ABSENT from CORRECTNESS_r04.json (the driver
+        # records ~50/run; whatever trails the dict is what it drops)
+        # plus the one r4 err row — these lead the r5 record.
+        "hybrid_topk", "text_gopher_rules", "dedup_paragraph",
+        "parsedoc_records", "text_repetition", "url_dedup",
+        "url_domain_stats", "sample_stratified", "pii_scrub",
+        "url_blocklist", "dedup_exact_capped",
     ]
     ordered = {k: q[k] for k in front if k in q}
     ordered.update(q)
@@ -1981,7 +1990,7 @@ canon AS (
   FROM all_docs
 )
 SELECT text_hash, count(*) AS dup_count, min(id) AS keep_id,
-       (list_sort(list(id)))[1:5] AS all_ids
+       array_to_string((list_sort(list(id)))[1:5], ',') AS all_ids
 FROM canon GROUP BY text_hash HAVING count(*) > 1
 """
     sql["token_count"] = (
