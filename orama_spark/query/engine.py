@@ -57,6 +57,29 @@ def _escape_java_regex(s: str) -> str:
     return re.sub(r"[.*+?^${}()|\[\]\\]", lambda m: "\\" + m.group(0), s)
 
 
+def _paged(df: DataFrame, keys: list, offset: int, limit: int) -> DataFrame:
+    """TakeOrdered pagination: ``orderBy(keys).limit(offset+limit)``
+    plans as TakeOrderedAndProject — a per-partition bounded heap plus a
+    single bounded merge — instead of a global sort. The row_number
+    window that applies the offset then runs over at most offset+limit
+    rows, so the infamous "No Partition Defined" window never sees an
+    unbounded input. This is the same pattern as SearchResult.top_df;
+    every paginated surface (sortBy, distinctOn, string facets) routes
+    through here so a million-hit query can't funnel the full match set
+    into one task."""
+    if limit <= 0:
+        return df.limit(0)
+    top = df.orderBy(*keys).limit(offset + limit)
+    if offset == 0:
+        return top
+    w = Window.orderBy(*keys)
+    return (
+        top.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > offset)
+        .drop("__rn")
+    )
+
+
 @dataclass
 class SearchResult:
     """Lazy result: ``scored`` is the full pre-pagination match set
@@ -72,16 +95,8 @@ class SearchResult:
 
     def top_df(self) -> DataFrame:
         """(docid, score) page in rank order (score DESC, docid ASC)."""
-        top = self.scored.orderBy(F.desc("score"), F.asc("docid")).limit(
-            self.offset + self.limit
-        )
-        if self.offset == 0:
-            return top
-        w = Window.orderBy(F.desc("score"), F.asc("docid"))
-        return (
-            top.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") > self.offset)
-            .drop("__rn")
+        return _paged(
+            self.scored, [F.desc("score"), F.asc("docid")], self.offset, self.limit
         )
 
     def hits_df(self) -> DataFrame:
@@ -709,11 +724,10 @@ class SearchIndex:
             direction = F.asc("facet_count") if order == "asc" else F.desc("facet_count")
             lo = cfg.get("offset", 0)
             hi = cfg.get("limit", 10)
-            w = Window.orderBy(direction, F.asc("facet_value"))
-            counts = (
-                counts.withColumn("__rn", F.row_number().over(w))
-                .where((F.col("__rn") > lo) & (F.col("__rn") <= hi))
-                .drop("__rn")
+            # reference quirk (facets.ts): .slice(offset, limit) — limit
+            # is an END INDEX, so the page is rows lo+1..hi.
+            counts = _paged(
+                counts, [direction, F.asc("facet_value")], lo, max(hi - lo, 0)
             )
         return counts
 
@@ -811,13 +825,12 @@ class SearchIndex:
             self.docs.withColumnRenamed(docid, "docid"), "docid"
         ).where(F.col(prop).isNotNull())
         w = Window.partitionBy(prop).orderBy(F.desc("score"), F.asc("docid"))
-        firsts = m.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
-        wg = Window.orderBy(F.desc("score"), F.asc("docid"))
-        return (
-            firsts.withColumn("__gn", F.row_number().over(wg))
-            .where((F.col("__gn") > offset) & (F.col("__gn") <= offset + limit))
-            .drop("__rn", "__gn")
+        firsts = (
+            m.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
         )
+        return _paged(firsts, [F.desc("score"), F.asc("docid")], offset, limit)
 
     # ------------------------------------------------------------ sort_by
     def sorted_hits_df(
@@ -836,12 +849,7 @@ class SearchIndex:
             keys += [F.col(prop).desc(), F.col("docid").desc()]
         else:
             keys += [F.col(prop).asc(), F.col("docid").asc()]
-        w = Window.orderBy(*keys)
-        return (
-            m.withColumn("__rn", F.row_number().over(w))
-            .where((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
-            .drop("__rn")
-        )
+        return _paged(m, keys, offset, limit)
 
     def sorted_hits_by_key_df(
         self, result: SearchResult, key, order: str = "ASC",
@@ -881,12 +889,7 @@ class SearchIndex:
             keys += [F.col("__key").desc(), F.col("docid").desc()]
         else:
             keys += [F.col("__key").asc(), F.col("docid").asc()]
-        w = Window.orderBy(*keys)
-        return (
-            m.withColumn("__rn", F.row_number().over(w))
-            .where((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
-            .drop("__rn", "__key")
-        )
+        return _paged(m, keys, offset, limit).drop("__key")
 
 
 def _fuzzy_udf(token: str, tolerance: int):
