@@ -138,11 +138,17 @@ def _score_blocks_fn(avgs: dict, n_docs: float, bm25_params, clipped: bool,
     clip are emitted — clips from different buckets never overlap, so
     unioning their decodes never double-counts a posting. ``with_key``
     additionally emits (field, term) — the champion-list build shape.
+
+    A ``wt`` column, when present, multiplies every posting score: the
+    reference scores each QUERY-TOKEN OCCURRENCE (index.ts:457-592 loops
+    over tokens, so 'spark spark' counts spark twice); the weighted path
+    reproduces that without duplicating block rows.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs = []
+            has_wt = "wt" in pdf.columns
             for r in pdf.itertuples(index=False):
                 deltas = varint_decode(bytes(r.docid_deltas)).astype(np.int64)
                 internal = r.first_docid + np.concatenate(
@@ -165,6 +171,8 @@ def _score_blocks_fn(avgs: dict, n_docs: float, bm25_params, clipped: bool,
                     fls, float(r.df), n_docs, avgs[r.field], bm25_params,
                     tfn=tfns,
                 )
+                if has_wt:
+                    s = s * float(r.wt)
                 if top_n is not None and len(s) > top_n:
                     sel = np.argpartition(-s, top_n)[:top_n]
                     origs, s = origs[sel], s[sel]
@@ -292,14 +300,18 @@ class BlockIndex:
 
     # ---------------------------------------------------- driver caches
 
-    def _meta_rows(self, tokens):
+    def _meta_rows(self, tokens, cap: Optional[int] = None):
         """Block metadata rows for the query terms from the per-term
         driver cache; one bounded collect fetches only the missing
-        terms. Returns None when the query's metadata exceeds
-        driver_sweep_max_blocks (the distributed-sweep path)."""
+        terms. Returns None when the query's metadata exceeds ``cap``
+        (default driver_sweep_max_blocks) — the distributed-sweep path.
+        ``cap`` is a parameter (not instance state) so a batched caller
+        can raise its budget without another concurrent query observing
+        the inflated bound."""
         if len(self._meta_cache) > self.metadata_cache_max_terms:
             self._meta_cache.clear()
-        cap = self.driver_sweep_max_blocks
+        if cap is None:
+            cap = self.driver_sweep_max_blocks
         missing = [t for t in tokens if t not in self._meta_cache]
         if missing:
             fetched = (
@@ -313,7 +325,12 @@ class BlockIndex:
                 .collect()
             )
             if len(fetched) > cap:
-                # cannot attribute rows per term safely; none cached
+                # over the cap: with several missing terms the truncated
+                # sample cannot be attributed per term, but a SINGLE
+                # over-cap term is fully attributable — remember it so
+                # the same hot term doesn't re-collect every query
+                if len(missing) == 1:
+                    self._meta_cache[missing[0]] = "OVER_CAP"
                 return None
             by_term: dict = {t: [] for t in missing}
             for r in fetched:
@@ -524,21 +541,44 @@ class BlockIndex:
         is a valid lower bound of the true k-th score for ANY k — a pool
         shallower than 4k/BLOCK_SIZE blocks only loosens θ, never breaks
         soundness."""
+        # Duplicate query tokens: the reference scores each OCCURRENCE
+        # (index.ts loops over tokens), so 'spark spark' weights spark's
+        # contribution ×2 — but `meta` comes from an isin() that dedupes
+        # terms. The weighted path (taken only when a duplicate exists —
+        # the common case pays nothing) attaches an occurrence-count
+        # `wt` column to meta; the score kernel, sweep upper bounds, θ
+        # seed and the negative-min adjustment all scale by it, keeping
+        # WAND rank-identical with the plain engine path.
+        wts: Optional[dict] = None
+        if tokens is not None:
+            cnt: dict = {}
+            for t in tokens:
+                cnt[t] = cnt.get(t, 0) + 1
+            if any(v > 1 for v in cnt.values()):
+                wts = {t: float(v) for t, v in cnt.items()}
+                wdf = F.broadcast(
+                    self.spark.createDataFrame(
+                        list(wts.items()), "term string, wt double"
+                    )
+                )
+                meta = meta.join(wdf, "term")
         # θ soundness under NEGATIVE term contributions (df counts
         # occurrences, so df > N gives idf < 0): a pool partial sum is
         # no longer ≤ the true score — the contributions it is missing
-        # can be negative. true(d) ≥ partial(d) + Σ_t min(0, min_t)
+        # can be negative. true(d) ≥ partial(d) + Σ_t wt_t·min(0, min_t)
         # where min_t is term t's global minimum posting score, so
         # lowering θ by that (≤ 0) constant restores the lower-bound
         # property. All-positive queries have adj = 0 — the common path
         # is untouched. Lazy: a 2-level agg over the query's block
         # metadata (tiny), crossJoined into θ.
+        wt_col = F.col("wt") if wts is not None else F.lit(1.0)
         adj_df = (
             meta.groupBy("field", "term")
-            .agg(F.min("min_score").alias("_mn"))
+            .agg(F.min("min_score").alias("_mn"), F.first(wt_col).alias("_w"))
             .agg(
                 F.coalesce(
-                    F.sum(F.least(F.lit(0.0), F.col("_mn"))), F.lit(0.0)
+                    F.sum(F.least(F.lit(0.0), F.col("_mn")) * F.col("_w")),
+                    F.lit(0.0),
                 ).alias("adj")
             )
         )
@@ -560,19 +600,30 @@ class BlockIndex:
             # Huge-df terms exceed the cap and take the distributed
             # sweep unchanged — same bounded-collect class as the
             # engine's top-k/expansion collects.
-            rows = self._meta_rows(tokens)
+            rows = self._meta_rows(list(dict.fromkeys(tokens)))
             if rows is not None:
                 # θ adjustment (see adj_df comment), computed from the
-                # already-collected full metadata
+                # already-collected full metadata; each term's negative
+                # floor scales by its occurrence count
                 mins: dict = {}
                 for r in rows:
                     key = (r["field"], r["term"])
                     mins[key] = min(mins.get(key, float("inf")), r["min_score"])
-                theta += sum(min(0.0, v) for v in mins.values())
+                theta += sum(
+                    min(0.0, v) * (wts.get(key[1], 1.0) if wts else 1.0)
+                    for key, v in mins.items()
+                )
                 theta_df = F.broadcast(
                     self.spark.createDataFrame([(theta,)], "theta double")
                 )
-                surv = self._driver_sweep(rows, theta)
+                sweep_rows = rows
+                if wts is not None:
+                    # occurrence-weighted upper bounds for the sweep
+                    sweep_rows = [
+                        {**r, "max_score": r["max_score"] * wts.get(r["term"], 1.0)}
+                        for r in rows
+                    ]
+                surv = self._driver_sweep(sweep_rows, theta)
                 if surv is None:
                     kept = self.spark.createDataFrame([], _KEPT_EMPTY_SCHEMA)
                 else:
@@ -595,10 +646,15 @@ class BlockIndex:
                 .select((F.col("theta") + F.col("adj")).alias("theta"))
             )
         elif self.champions is not None and tokens is not None:
-            seed_scored = self.champions.where(
+            champ = self.champions.where(
                 F.col("term").isin(tokens)
                 & F.col("field").isin(self.config.searchable_fields)
-            ).select("docid", "s")
+            )
+            if wts is not None:
+                champ = champ.join(wdf, "term").withColumn(
+                    "s", F.col("s") * F.col("wt")
+                )
+            seed_scored = champ.select("docid", "s")
             theta_df = None
         else:
             n_seed_blocks = max(2, -(-4 * k // BLOCK_SIZE) + 1)
@@ -642,7 +698,9 @@ class BlockIndex:
         )
         exploded = (
             meta.select(
-                "field", "term", "first_docid", "last_docid", "max_score",
+                "field", "term", "first_docid", "last_docid",
+                # occurrence-weighted upper bound (see wts comment)
+                (F.col("max_score") * wt_col).alias("max_score"),
                 F.explode(
                     F.sequence(
                         bucket_of(F.col("first_docid")),
@@ -750,12 +808,10 @@ class BlockIndex:
         meta = self.blocks.where(
             F.col("term").isin(all_tokens) & F.col("field").isin(fields)
         )
-        saved_cap = self.driver_sweep_max_blocks
-        self.driver_sweep_max_blocks = saved_cap * max(1, len(qtoks))
-        try:
-            rows = self._meta_rows(all_tokens)
-        finally:
-            self.driver_sweep_max_blocks = saved_cap
+        rows = self._meta_rows(
+            all_tokens,
+            cap=self.driver_sweep_max_blocks * max(1, len(qtoks)),
+        )
         if rows is None:
             return _fallback()
         pool = self._champ_pool(all_tokens)
@@ -763,25 +819,45 @@ class BlockIndex:
         surv_rows = []
         theta_rows = []
         for qid, toks in qtoks.items():
-            tokset = set(toks)
-            rows_q = [r for r in rows if r["term"] in tokset]
-            sub = pool[pool["term"].isin(tokset)]
-            sums = sub.groupby("docid")["s"].sum().sort_values(ascending=False)
+            # occurrence weights: duplicate tokens in a query score once
+            # PER OCCURRENCE (reference loops over tokens) — same
+            # weighting as the single-query path, so per-qid rank
+            # identity with wand_topk holds for duplicate-token queries
+            wts: dict = {}
+            for t in toks:
+                wts[t] = wts.get(t, 0.0) + 1.0
+            rows_q = [r for r in rows if r["term"] in wts]
+            sub = pool[pool["term"].isin(list(wts))]
+            wvec = sub["term"].map(wts).astype(float)
+            sums = (
+                (sub["s"] * wvec).groupby(sub["docid"]).sum()
+                .sort_values(ascending=False)
+            )
             theta = float(sums.iloc[k - 1]) if len(sums) >= k else 0.0
             # negative-min_score adjustment, as in the single path
             mins: dict = {}
             for r in rows_q:
                 key = (r["field"], r["term"])
                 mins[key] = min(mins.get(key, float("inf")), r["min_score"])
-            theta += sum(min(0.0, v) for v in mins.values())
+            theta += sum(
+                min(0.0, v) * wts[key[1]] for key, v in mins.items()
+            )
             theta_rows.append((qid, theta))
-            surv = self._driver_sweep(rows_q, theta)
+            surv = self._driver_sweep(
+                [
+                    {**r, "max_score": r["max_score"] * wts[r["term"]]}
+                    for r in rows_q
+                ],
+                theta,
+            )
             if surv is not None:
-                surv_rows.extend((qid, *s) for s in surv)
+                surv_rows.extend(
+                    (qid, *s, wts[s[1]]) for s in surv
+                )
         if not surv_rows:
             return self.spark.createDataFrame([], out_schema)
         surv_df = self.spark.createDataFrame(
-            surv_rows, "qid string, " + _SURVIVOR_SCHEMA
+            surv_rows, "qid string, " + _SURVIVOR_SCHEMA + ", wt double"
         )
         kept = meta.join(
             F.broadcast(surv_df), ["field", "term", "first_docid"]

@@ -345,9 +345,12 @@ def markdown_to_html(md: str) -> str:
         elif para and _SETEXT_H2.match(ln):
             out.append(f"<h2>{' '.join(para)}</h2>")
             para.clear()
-        elif _HR.match(ln) and not para:
-            # a ---/***/___ run with no pending paragraph is a
-            # thematic break (with one pending, --- was setext above)
+        elif _HR.match(ln):
+            # thematic breaks INTERRUPT paragraphs (CommonMark): '***',
+            # '___', '- - -' after a paragraph flush it and emit <hr/>.
+            # Only a contiguous '-' run is a setext h2 — _SETEXT_H2
+            # matched it above before reaching here.
+            flush()
             out.append("<hr/>")
         elif m := _BULLET.match(ln):
             flush()

@@ -265,6 +265,62 @@ class TestWandAllowDuplicates:
         for (gi, gs), (wi, ws) in zip(got, want):
             assert gs == pytest.approx(ws, rel=1e-9)
 
+    @pytest.mark.parametrize("term", ["fox fox", "fox fox river"])
+    def test_duplicate_token_rank_identity(self, dup_indexes, term):
+        # r4 ADVICE: the reference scores each query-token OCCURRENCE
+        # ('fox fox' counts fox twice) — θ seed, sweep upper bounds and
+        # phase-2 scores must all weight duplicates identically, or the
+        # final score≥θ filter drops true top-k hits.
+        plain, blocks, _ = dup_indexes
+        want = [
+            (r["docid"], r["score"])
+            for r in plain.search(term=term, exact=True, limit=10).top_df().collect()
+        ]
+        keep = plain.exact_filter_ids(term)
+        got = [
+            (r["docid"], r["score"])
+            for r in blocks.wand_topk(term, k=10, keep_ids=keep).collect()
+        ]
+        assert [g[0] for g in got] == [w[0] for w in want], term
+        assert got, term
+        for (gi, gs), (wi, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9)
+
+    def test_duplicate_token_batch_matches_single(self, dup_indexes):
+        # r4 ADVICE follow-up: wand_topk_many used set(toks), silently
+        # deduping where the single path weights — per-qid identity must
+        # hold for duplicate-token queries too
+        _, blocks, _ = dup_indexes
+        queries = {"a": "fox fox", "b": "river fox fox", "c": "fox"}
+        got = blocks.wand_topk_many(queries, k=10).collect()
+        by_qid: dict = {}
+        for r in got:
+            by_qid.setdefault(r["qid"], []).append((r["docid"], r["score"]))
+        for qid, text in queries.items():
+            want = [
+                (r["docid"], r["score"])
+                for r in blocks.wand_topk(text, k=10).collect()
+            ]
+            have = by_qid.get(qid, [])
+            assert [h[0] for h in have] == [w[0] for w in want], qid
+            for (hi, hs), (wi, ws) in zip(have, want):
+                assert hs == pytest.approx(ws, rel=1e-9)
+
+    def test_duplicate_token_sweeps_identical(self, dup_indexes):
+        # weighted driver sweep ≡ weighted distributed sweep
+        _, blocks, cfg = dup_indexes
+        forced = BlockIndex(
+            blocks.spark, cfg, blocks.blocks, blocks.dictionary,
+            blocks.stats, champions=blocks.champions,
+            driver_sweep_max_blocks=0,
+        )
+        for term in ["fox fox", "fox fox river"]:
+            a = [(r["docid"], round(r["score"], 9))
+                 for r in blocks.wand_topk(term, k=10).collect()]
+            b = [(r["docid"], round(r["score"], 9))
+                 for r in forced.wand_topk(term, k=10).collect()]
+            assert a == b and a, term
+
     def test_tfns_materialized(self, dup_indexes):
         # duplicate-bearing blocks must carry non-empty tfn payloads
         _, blocks, _ = dup_indexes

@@ -132,6 +132,11 @@ class TestReferenceExpectations:
         assert "<hr/>" in html
         # --- directly under a paragraph line is setext h2, not a break
         assert "<h2>para</h2>" in markdown_to_html("para\n---\n")
+        # but a '*'/'_' run (or a spaced '-' run — no valid setext
+        # underline) INTERRUPTS the paragraph (CommonMark; r4 ADVICE)
+        for brk in ("***", "___", "- - -"):
+            html = markdown_to_html(f"para\n{brk}\nafter\n")
+            assert "<p>para</p><hr/>" in html, (brk, html)
 
     def test_merge_first_property_wins(self):
         r = parse_html_records(_rd("merge-properties.html"))
