@@ -203,6 +203,92 @@ def _score_blocks_fn(avgs: dict, n_docs: float, bm25_params, clipped: bool,
     return fn
 
 
+def _fused_topk_fn(avgs: dict, n_docs: float, bm25_params,
+                   survmaps: dict, thetas: dict, wts: dict,
+                   k: Optional[int] = None):
+    """Arrow kernel for the FUSED driver-sweep phase 2 (r5): decode +
+    score + per-doc aggregate + θ filter in ONE task. The survivor clip
+    map, θ and occurrence weights are driver-side closures, so the
+    whole phase is a single coalesce(1) scan job — no broadcast-join /
+    repartition / groupBy exchanges for AQE to materialize as separate
+    jobs (the r4 scale profile showed ~2.5 s of fixed multi-job driver
+    latency dominating short queries).
+
+    ``survmaps``: {qid: {(field, term, first_docid): (clip_s, clip_e)}};
+    ``thetas``: {qid: θ}; ``wts``: {qid: {term: occurrence_weight}}.
+    Single-query callers pass one qid=None entry and get (docid, score);
+    batch callers get (qid, docid, score) with per-qid top-k (by
+    ``k``) emitted in rank order. Each block row is DECODED ONCE even
+    when several queries keep it — only the clip mask and weight differ
+    per query."""
+    batched = not (len(survmaps) == 1 and None in survmaps)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc_ids: dict = {q: [] for q in survmaps}
+        acc_s: dict = {q: [] for q in survmaps}
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                key = (r.field, r.term, r.first_docid)
+                hit_qids = [q for q, sm in survmaps.items() if key in sm]
+                if not hit_qids:
+                    continue
+                deltas = varint_decode(bytes(r.docid_deltas)).astype(np.int64)
+                internal = r.first_docid + np.concatenate(
+                    ([0], np.cumsum(deltas[1:]))
+                )
+                origs = varint_decode(bytes(r.orig_docids)).astype(np.int64)
+                fls = varint_decode(bytes(r.field_lens)).astype(np.float64)
+                raw_t = bytes(r.tfns or b"")
+                tfns = (
+                    varint_decode(raw_t).astype(np.float64) if raw_t else None
+                )
+                s_all = bm25_for_fl(
+                    fls, float(r.df), n_docs, avgs[r.field], bm25_params,
+                    tfn=tfns,
+                )
+                for q in hit_qids:
+                    cs, ce = survmaps[q][key]
+                    m = (internal >= cs) & (internal <= ce)
+                    if not m.all():
+                        o, s = origs[m], s_all[m]
+                    else:
+                        o, s = origs, s_all
+                    if len(o) == 0:
+                        continue
+                    w = wts.get(q, {}).get(r.term)
+                    acc_ids[q].append(o)
+                    acc_s[q].append(s * w if w is not None else s)
+        outs = []
+        for q in survmaps:
+            if not acc_ids[q]:
+                continue
+            ids = np.concatenate(acc_ids[q])
+            ss = np.concatenate(acc_s[q])
+            uids, inv = np.unique(ids, return_inverse=True)
+            sums = np.zeros(len(uids))
+            np.add.at(sums, inv, ss)
+            theta = thetas[q]
+            if theta > 0.0:
+                keep = sums >= theta * (1.0 - _EPS)
+                uids, sums = uids[keep], sums[keep]
+            if len(uids) == 0:
+                continue
+            if batched and k is not None and len(uids) > 0:
+                order = np.lexsort((uids, -sums))[:k]
+                uids, sums = uids[order], sums[order]
+            if batched:
+                outs.append(pd.DataFrame(
+                    {"qid": np.full(len(uids), q, dtype=object),
+                     "docid": uids, "score": sums}
+                ))
+            else:
+                outs.append(pd.DataFrame({"docid": uids, "score": sums}))
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return fn
+
+
 def _sweep_fn(dmin: int, width: int):
     """Arrow kernel: per-bucket exact interval sweep over block metadata.
 
@@ -300,72 +386,137 @@ class BlockIndex:
 
     # ---------------------------------------------------- driver caches
 
-    def _meta_rows(self, tokens, cap: Optional[int] = None):
-        """Block metadata rows for the query terms from the per-term
-        driver cache; one bounded collect fetches only the missing
-        terms. Returns None when the query's metadata exceeds ``cap``
-        (default driver_sweep_max_blocks) — the distributed-sweep path.
-        ``cap`` is a parameter (not instance state) so a batched caller
-        can raise its budget without another concurrent query observing
-        the inflated bound."""
-        if len(self._meta_cache) > self.metadata_cache_max_terms:
-            self._meta_cache.clear()
-        if cap is None:
-            cap = self.driver_sweep_max_blocks
-        missing = [t for t in tokens if t not in self._meta_cache]
-        if missing:
-            fetched = (
-                self.blocks.where(
-                    F.col("term").isin(missing)
-                    & F.col("field").isin(self.config.searchable_fields)
-                )
-                .select("field", "term", "first_docid", "last_docid",
-                        "max_score", "min_score")
-                .limit(cap + 1)
-                .collect()
-            )
-            if len(fetched) > cap:
-                # over the cap: with several missing terms the truncated
-                # sample cannot be attributed per term, but a SINGLE
-                # over-cap term is fully attributable — remember it so
-                # the same hot term doesn't re-collect every query
-                if len(missing) == 1:
-                    self._meta_cache[missing[0]] = "OVER_CAP"
-                return None
-            by_term: dict = {t: [] for t in missing}
-            for r in fetched:
-                by_term[r["term"]].append(r.asDict())
-            self._meta_cache.update(by_term)
-        rows: list = []
-        for t in tokens:
-            got = self._meta_cache.get(t)
-            if got == "OVER_CAP":
-                return None
-            rows.extend(got or [])
-        if len(rows) > cap:
-            return None
-        return rows
+    _META_KEYS = ("field", "term", "first_docid", "last_docid",
+                  "max_score", "min_score")
 
-    def _champ_pool(self, tokens):
-        """Champion (term, docid, s) pool for the query terms from the
-        per-term driver cache; one toPandas fetches missing terms.
-        Pool size is bounded per term by the champion-list build."""
+    def _term_data(self, tokens, cap: Optional[int] = None):
+        """ONE driver job fetches BOTH the champion θ-seed rows and the
+        block metadata for the query's cache-missing terms (r4 scale
+        profile: the separate champions job + metadata job made a cold
+        WAND query 3 driver jobs; folding them into a single
+        tagged-union collect makes it 2 cold / 1 warm). Returns
+        (champion pool pd.DataFrame — one copy PER TOKEN OCCURRENCE,
+        matching the reference's per-occurrence scoring — , metadata
+        row list or None when over ``cap``)."""
         import pandas as _pd
 
+        if len(self._meta_cache) > self.metadata_cache_max_terms:
+            self._meta_cache.clear()
         if len(self._champ_cache) > self.metadata_cache_max_terms:
             self._champ_cache.clear()
-        missing = [t for t in tokens if t not in self._champ_cache]
-        if missing:
-            fetched = self.champions.where(
-                F.col("term").isin(missing)
-                & F.col("field").isin(self.config.searchable_fields)
-            ).select("term", "docid", "s").toPandas()
-            for t in missing:
-                self._champ_cache[t] = fetched[fetched["term"] == t]
-        parts = [self._champ_cache[t] for t in tokens if t in self._champ_cache]
-        if not parts:
-            return _pd.DataFrame({"term": [], "docid": [], "s": []})
-        return _pd.concat(parts, ignore_index=True)
+        if cap is None:
+            cap = self.driver_sweep_max_blocks
+        utoks = list(dict.fromkeys(tokens))
+        miss_m = [t for t in utoks if t not in self._meta_cache]
+        miss_c = [
+            t for t in utoks if t not in self._champ_cache
+        ] if self.champions is not None else []
+        if miss_m or miss_c:
+            fields = self.config.searchable_fields
+            parts = []
+            if miss_m:
+                parts.append(
+                    self.blocks.where(
+                        F.col("term").isin(miss_m) & F.col("field").isin(fields)
+                    )
+                    .select(
+                        F.lit("m").alias("side"), "field", "term",
+                        "first_docid", "last_docid", "max_score", "min_score",
+                        F.lit(None).cast("long").alias("docid"),
+                        F.lit(None).cast("double").alias("s"),
+                    )
+                    .limit(cap + 1)
+                )
+            if miss_c:
+                parts.append(
+                    self.champions.where(
+                        F.col("term").isin(miss_c) & F.col("field").isin(fields)
+                    ).select(
+                        F.lit("c").alias("side"), "field", "term",
+                        F.lit(None).cast("long").alias("first_docid"),
+                        F.lit(None).cast("long").alias("last_docid"),
+                        F.lit(None).cast("double").alias("max_score"),
+                        F.lit(None).cast("double").alias("min_score"),
+                        "docid", "s",
+                    )
+                )
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            # keep the cold fetch to ONE job: a LIMIT collect executes
+            # incrementally (initialNumPartitions, then 4x more) and AQE
+            # additionally materializes the mid-plan limit as its own
+            # stage-job — both toggled off for this single tiny action
+            conf = self.spark.conf
+            saved = {
+                key: conf.get(key, None)
+                for key in ("spark.sql.limit.initialNumPartitions",
+                            "spark.sql.adaptive.enabled")
+            }
+            try:
+                conf.set("spark.sql.limit.initialNumPartitions", "100000")
+                conf.set("spark.sql.adaptive.enabled", "false")
+                fetched = df.collect()
+            finally:
+                for key, v in saved.items():
+                    if v is None:
+                        conf.unset(key)
+                    else:
+                        conf.set(key, v)
+            mrows = [r for r in fetched if r["side"] == "m"]
+            crows = [r for r in fetched if r["side"] == "c"]
+            meta_overflow = False
+            if miss_m:
+                if len(mrows) > cap:
+                    # the truncated sample cannot be attributed per
+                    # term; the whole query goes distributed. A SINGLE
+                    # over-cap term IS attributable — remember it so the
+                    # same hot term doesn't re-collect every query.
+                    meta_overflow = True
+                    if len(miss_m) == 1:
+                        self._meta_cache[miss_m[0]] = "OVER_CAP"
+                else:
+                    by_term: dict = {t: [] for t in miss_m}
+                    for r in mrows:
+                        by_term[r["term"]].append(
+                            {k: r[k] for k in self._META_KEYS}
+                        )
+                    self._meta_cache.update(by_term)
+            if miss_c:
+                cpdf = _pd.DataFrame(
+                    {
+                        "term": [r["term"] for r in crows],
+                        "docid": [r["docid"] for r in crows],
+                        "s": [r["s"] for r in crows],
+                    }
+                )
+                for t in miss_c:
+                    self._champ_cache[t] = cpdf[cpdf["term"] == t]
+        # assemble from caches
+        if self.champions is not None:
+            parts_p = [
+                self._champ_cache[t] for t in tokens if t in self._champ_cache
+            ]
+            pool = (
+                _pd.concat(parts_p, ignore_index=True)
+                if parts_p
+                else _pd.DataFrame({"term": [], "docid": [], "s": []})
+            )
+        else:
+            pool = _pd.DataFrame({"term": [], "docid": [], "s": []})
+        rows: Optional[list] = []
+        if miss_m and meta_overflow:
+            rows = None
+        else:
+            for t in utoks:
+                got = self._meta_cache.get(t)
+                if got == "OVER_CAP":
+                    rows = None
+                    break
+                rows.extend(got or [])
+        if rows is not None and len(rows) > cap:
+            rows = None
+        return pool, rows
 
     # ------------------------------------------------------------ build
     @classmethod
@@ -527,6 +678,75 @@ class BlockIndex:
             if keep[i]
         ]
 
+    @staticmethod
+    def _occurrence_weights(tokens) -> Optional[dict]:
+        """{term: count} when any query token repeats, else None (the
+        reference scores once per occurrence; see _prune's wts note)."""
+        cnt: dict = {}
+        for t in tokens:
+            cnt[t] = cnt.get(t, 0) + 1
+        if any(v > 1 for v in cnt.values()):
+            return {t: float(v) for t, v in cnt.items()}
+        return None
+
+    def _driver_plan(self, tokens, k: int, cap: Optional[int] = None):
+        """Driver-side phases 0/1 for the champion fast path: ONE Spark
+        job (warm: zero) fetches champions + block metadata
+        (_term_data), seeds θ from the occurrence-weighted champion-pool
+        k-th partial sum, applies the weighted negative-min adjustment,
+        and runs the exact interval sweep in numpy.
+
+        Returns (theta, surv, wts) — surv is None when NOTHING survives
+        (the result set is provably empty of θ-beating docs... i.e. no
+        block can contain a qualifying doc) — or None when the metadata
+        exceeds the driver cap and the distributed sweep must run."""
+        if self.champions is None:
+            return None
+        wts = self._occurrence_weights(tokens)
+        pool, rows = self._term_data(tokens, cap)
+        if rows is None:
+            return None
+        sums = pool.groupby("docid")["s"].sum().sort_values(ascending=False)
+        theta = float(sums.iloc[k - 1]) if len(sums) >= k else 0.0
+        mins: dict = {}
+        for r in rows:
+            key = (r["field"], r["term"])
+            mins[key] = min(mins.get(key, float("inf")), r["min_score"])
+        theta += sum(
+            min(0.0, v) * (wts.get(key[1], 1.0) if wts else 1.0)
+            for key, v in mins.items()
+        )
+        sweep_rows = rows
+        if wts is not None:
+            # occurrence-weighted upper bounds for the sweep
+            sweep_rows = [
+                {**r, "max_score": r["max_score"] * wts.get(r["term"], 1.0)}
+                for r in rows
+            ]
+        return theta, self._driver_sweep(sweep_rows, theta), wts
+
+    def _fused_scan(self, all_terms: list, survmaps: dict) -> DataFrame:
+        """The phase-2 input scan for the fused kernel: blocks filtered
+        by the query terms (parquet IN pushdown on the sorted term
+        column) plus a first_docid bound derived from the survivors —
+        an IN list when small, a min/max range otherwise (the kernel
+        skips non-survivor keys exactly either way). coalesce(1) funnels
+        the bounded survivor set into one Python task WITHOUT an
+        exchange, so the whole phase is one job."""
+        fields = self.config.searchable_fields
+        fdids = sorted({key[2] for sm in survmaps.values() for key in sm})
+        scan = self.blocks.where(
+            F.col("term").isin(all_terms) & F.col("field").isin(fields)
+        )
+        if len(fdids) <= 256:
+            scan = scan.where(F.col("first_docid").isin(fdids))
+        else:
+            scan = scan.where(
+                (F.col("first_docid") >= fdids[0])
+                & (F.col("first_docid") <= fdids[-1])
+            )
+        return scan.coalesce(1)
+
     def _prune(self, meta: DataFrame, k: int, keep_ids: Optional[DataFrame],
                tokens: Optional[list] = None) -> tuple[DataFrame, DataFrame]:
         """Phases 0/1: returns (surviving (block ⨝ clip) rows, 1-row θ
@@ -588,9 +808,6 @@ class BlockIndex:
             # a few thousand rows for any human query), so one bounded
             # collect beats a groupBy→sort→limit shuffle chain; θ then
             # rides into both phases as a 1-row local broadcast frame.
-            pool = self._champ_pool(tokens)
-            sums = pool.groupby("docid")["s"].sum().sort_values(ascending=False)
-            theta = float(sums.iloc[k - 1]) if len(sums) >= k else 0.0
             # bounded driver sweep: when the query terms' block METADATA
             # fits under driver_sweep_max_blocks (rare terms, small
             # corpora — detected with a LIMIT-guarded collect, one tiny
@@ -599,31 +816,15 @@ class BlockIndex:
             # explode+shuffle+mapInPandas to a single broadcast join.
             # Huge-df terms exceed the cap and take the distributed
             # sweep unchanged — same bounded-collect class as the
-            # engine's top-k/expansion collects.
-            rows = self._meta_rows(list(dict.fromkeys(tokens)))
-            if rows is not None:
-                # θ adjustment (see adj_df comment), computed from the
-                # already-collected full metadata; each term's negative
-                # floor scales by its occurrence count
-                mins: dict = {}
-                for r in rows:
-                    key = (r["field"], r["term"])
-                    mins[key] = min(mins.get(key, float("inf")), r["min_score"])
-                theta += sum(
-                    min(0.0, v) * (wts.get(key[1], 1.0) if wts else 1.0)
-                    for key, v in mins.items()
-                )
+            # engine's top-k/expansion collects. (wand_topk normally
+            # short-circuits to the FUSED kernel before reaching here —
+            # this branch serves pruning_stats and diagnostics.)
+            dp = self._driver_plan(tokens, k)
+            if dp is not None:
+                theta, surv, _ = dp
                 theta_df = F.broadcast(
                     self.spark.createDataFrame([(theta,)], "theta double")
                 )
-                sweep_rows = rows
-                if wts is not None:
-                    # occurrence-weighted upper bounds for the sweep
-                    sweep_rows = [
-                        {**r, "max_score": r["max_score"] * wts.get(r["term"], 1.0)}
-                        for r in rows
-                    ]
-                surv = self._driver_sweep(sweep_rows, theta)
                 if surv is None:
                     kept = self.spark.createDataFrame([], _KEPT_EMPTY_SCHEMA)
                 else:
@@ -638,8 +839,12 @@ class BlockIndex:
                         ["field", "term", "first_docid"],
                     ).repartition(1)
                 return kept, theta_df
-            # over the cap: distributed sweep with the same θ, adjusted
-            # lazily (the full metadata was never collected)
+            # over the cap: distributed sweep with the champion-pool θ
+            # seed, adjusted lazily (the full metadata was never
+            # collected). _term_data is warm here — zero extra jobs.
+            pool, _ = self._term_data(tokens)
+            sums = pool.groupby("docid")["s"].sum().sort_values(ascending=False)
+            theta = float(sums.iloc[k - 1]) if len(sums) >= k else 0.0
             theta_df = F.broadcast(
                 self.spark.createDataFrame([(theta,)], "theta double")
                 .crossJoin(adj_df)
@@ -736,6 +941,41 @@ class BlockIndex:
         if not tokens:
             return self.spark.createDataFrame([], "docid long, score double")
         fields = self.config.searchable_fields
+
+        if keep_ids is None and self.champions is not None:
+            # FUSED fast path (r5): θ + sweep fully driver-side (one
+            # fetch job, cached for warm queries), then decode + score +
+            # aggregate + θ-filter in ONE coalesce(1) kernel — a warm
+            # query is a single Spark job, a cold one two. The r4 scale
+            # leg showed the fixed multi-job orchestration (~2.5 s on
+            # this VM) was the only thing keeping WAND behind the plain
+            # path despite ~100x less posting work.
+            dp = self._driver_plan(tokens, k)
+            if dp is not None:
+                theta, surv, wts = dp
+                if surv is None:
+                    return self.spark.createDataFrame(
+                        [], "docid long, score double"
+                    )
+                survmap = {
+                    (f_, t, fd): (cs, ce) for f_, t, fd, cs, ce in surv
+                }
+                avgs = {
+                    f_: float(v["avg_field_length"])
+                    for f_, v in self.stats["fields"].items()
+                }
+                scan = self._fused_scan(list(dict.fromkeys(tokens)),
+                                        {None: survmap})
+                out = scan.mapInPandas(
+                    _fused_topk_fn(
+                        avgs, float(self.stats["docs_count"]),
+                        self.config.bm25, {None: survmap}, {None: theta},
+                        {None: wts} if wts else {},
+                    ),
+                    "docid long, score double",
+                )
+                return out.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
         meta = self.blocks.where(
             F.col("term").isin(tokens) & F.col("field").isin(fields)
         )
@@ -777,8 +1017,6 @@ class BlockIndex:
         when champion lists are absent or the batch's block metadata
         exceeds ``driver_sweep_max_blocks * len(queries)``.
         """
-        from pyspark.sql.window import Window as W
-
         out_schema = "qid string, docid long, score double"
         qtoks = {
             str(qid): self.tokenizer.tokenize(text)
@@ -803,21 +1041,17 @@ class BlockIndex:
 
         if self.champions is None:
             return _fallback()
-        fields = self.config.searchable_fields
         all_tokens = sorted({t for toks in qtoks.values() for t in toks})
-        meta = self.blocks.where(
-            F.col("term").isin(all_tokens) & F.col("field").isin(fields)
-        )
-        rows = self._meta_rows(
+        pool, rows = self._term_data(
             all_tokens,
             cap=self.driver_sweep_max_blocks * max(1, len(qtoks)),
         )
         if rows is None:
             return _fallback()
-        pool = self._champ_pool(all_tokens)
 
-        surv_rows = []
-        theta_rows = []
+        survmaps: dict = {}
+        thetas: dict = {}
+        wtsmap: dict = {}
         for qid, toks in qtoks.items():
             # occurrence weights: duplicate tokens in a query score once
             # PER OCCURRENCE (reference loops over tokens) — same
@@ -842,7 +1076,6 @@ class BlockIndex:
             theta += sum(
                 min(0.0, v) * wts[key[1]] for key, v in mins.items()
             )
-            theta_rows.append((qid, theta))
             surv = self._driver_sweep(
                 [
                     {**r, "max_score": r["max_score"] * wts[r["term"]]}
@@ -851,45 +1084,30 @@ class BlockIndex:
                 theta,
             )
             if surv is not None:
-                surv_rows.extend(
-                    (qid, *s, wts[s[1]]) for s in surv
-                )
-        if not surv_rows:
+                survmaps[qid] = {
+                    (f_, t, fd): (cs, ce) for f_, t, fd, cs, ce in surv
+                }
+                thetas[qid] = theta
+                if any(v > 1 for v in wts.values()):
+                    wtsmap[qid] = wts
+        if not survmaps:
             return self.spark.createDataFrame([], out_schema)
-        surv_df = self.spark.createDataFrame(
-            surv_rows, "qid string, " + _SURVIVOR_SCHEMA + ", wt double"
-        )
-        kept = meta.join(
-            F.broadcast(surv_df), ["field", "term", "first_docid"]
-        ).repartition(1)
         avgs = {
             f_: float(v["avg_field_length"])
             for f_, v in self.stats["fields"].items()
         }
-        scored = kept.mapInPandas(
-            _score_blocks_fn(
+        # ONE fused job: every surviving block is decoded ONCE even when
+        # several queries keep it; per-qid aggregate + θ filter + top-k
+        # happen inside the kernel (see _fused_topk_fn)
+        out = self._fused_scan(all_tokens, survmaps).mapInPandas(
+            _fused_topk_fn(
                 avgs, float(self.stats["docs_count"]), self.config.bm25,
-                clipped=True, group_col="qid",
+                survmaps, thetas, wtsmap, k=k,
             ),
-            "qid string, docid long, s double",
+            out_schema,
         )
-        theta_df = F.broadcast(
-            self.spark.createDataFrame(theta_rows, "qid string, theta double")
-        )
-        agg = (
-            scored.groupBy("qid", "docid")
-            .agg(F.sum("s").alias("score"))
-            .join(theta_df, "qid")
-            .where(
-                (F.col("theta") <= 0.0)
-                | (F.col("score") >= F.col("theta") * (1.0 - _EPS))
-            )
-        )
-        w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
-        return (
-            agg.withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") <= k)
-            .select("qid", "docid", "score")
+        return out.sortWithinPartitions(
+            "qid", F.desc("score"), F.asc("docid")
         )
 
     def pruning_stats(self, term: str, k: int = 10) -> dict:
