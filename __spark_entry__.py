@@ -887,6 +887,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["image_png_features"] = image_png
 
+    def image_jpeg(spark, sf_dir):
+        from orama_spark.datapipe import multimodal as mm
+        from orama_spark.datapipe.jpeg import encode_jpeg
+
+        docs = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .where(F.col("doc_id") % 7 == 0)
+            .select("doc_id")
+        )
+
+        def gen(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["doc_id"].astype(int):
+                    # dims 6..11 so some rows span >1 MCU (h or w > 8)
+                    # and the restart-marker path actually fires
+                    h, w = int(i % 5) + 6, int(i % 6) + 6
+                    col = _np.array(
+                        [(i * 37) % 256, (i * 59) % 256, (i * 83) % 256],
+                        dtype=_np.uint8,
+                    )
+                    img = _np.broadcast_to(col, (h, w, 3)).copy()
+                    # alternate 4:4:4 / 4:2:0 and sprinkle restart
+                    # markers so the gate drives every decoder path;
+                    # flat quant => solid color round-trips EXACTLY
+                    # (the oracle's closed form relies on it)
+                    payload = encode_jpeg(
+                        img,
+                        subsample=bool(i % 2),
+                        restart_interval=1 if i % 10 == 0 else 0,
+                    )
+                    rows.append(
+                        {
+                            "media_id": int(i),
+                            "kind": "image",
+                            "mime": "image/jpeg",
+                            "payload": payload,
+                            "width": w,
+                            "height": h,
+                            "duration_ms": None,
+                        }
+                    )
+                yield _pd.DataFrame(rows)
+
+        media = docs.mapInPandas(gen, mm.MEDIA_SCHEMA)
+        feats = mm.extract_features(media, strict=True)
+        return feats.select(
+            "media_id",
+            F.element_at("feature", 1).cast("double").alias("height"),
+            F.element_at("feature", 2).cast("double").alias("width"),
+            F.round(F.element_at("feature", 3) * 255).cast("long").alias("r"),
+            F.round(F.element_at("feature", 4) * 255).cast("long").alias("g"),
+            F.round(F.element_at("feature", 5) * 255).cast("long").alias("b"),
+        )
+    q["image_jpeg_features"] = image_jpeg
+
     # alternative scorers (SURVEY §2.10)
     def pt15_topk(spark, sf_dir):
         idx = _get_alt_index(spark, sf_dir, "pt15")
@@ -1438,6 +1497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parsedoc_records", "text_repetition", "url_dedup",
         "url_domain_stats", "sample_stratified", "pii_scrub",
         "url_blocklist", "dedup_exact_capped",
+        # new in r5
+        "image_jpeg_features",
     ]
     ordered = {k: q[k] for k in front if k in q}
     ordered.update(q)
@@ -1675,6 +1736,36 @@ SELECT doc_id AS media_id,
        (doc_id * 59) % 256 AS g,
        (doc_id * 83) % 256 AS b
 FROM documents WHERE doc_id % 5 = 0
+"""
+
+    # JPEG features of a solid (h, w, color) image in closed form: with
+    # flat quantization the DCT path is exact, so the decoded pixel is
+    # just RGB -> YCbCr -> RGB through the JFIF transforms with
+    # floor(x+0.5) rounding — replicated here verbatim (same constants,
+    # same op order as jpeg._rgb_to_ycbcr/_ycbcr_to_rgb; float64 parity
+    # verified for all doc_id in [0, 3000)). Matches only if the Spark
+    # side's Huffman + IDCT reconstructed every pixel.
+    sql["image_jpeg_features"] = """
+WITH c AS (
+  SELECT doc_id,
+         CAST((doc_id * 37) % 256 AS DOUBLE) AS r,
+         CAST((doc_id * 59) % 256 AS DOUBLE) AS g,
+         CAST((doc_id * 83) % 256 AS DOUBLE) AS b
+  FROM documents WHERE doc_id % 7 = 0
+), ycc AS (
+  SELECT doc_id,
+    LEAST(GREATEST(FLOOR(0.299*r + 0.587*g + 0.114*b + 0.5), 0), 255) AS y,
+    LEAST(GREATEST(FLOOR(-0.168736*r - 0.331264*g + 0.5*b + 128.0 + 0.5), 0), 255) AS cb,
+    LEAST(GREATEST(FLOOR(0.5*r - 0.418688*g - 0.081312*b + 128.0 + 0.5), 0), 255) AS cr
+  FROM c
+)
+SELECT doc_id AS media_id,
+       CAST((doc_id % 5) + 6 AS DOUBLE) AS height,
+       CAST((doc_id % 6) + 6 AS DOUBLE) AS width,
+       CAST(LEAST(GREATEST(FLOOR(y + 1.402*(cr-128.0) + 0.5), 0), 255) AS BIGINT) AS r,
+       CAST(LEAST(GREATEST(FLOOR(y - 0.344136*(cb-128.0) - 0.714136*(cr-128.0) + 0.5), 0), 255) AS BIGINT) AS g,
+       CAST(LEAST(GREATEST(FLOOR(y + 1.772*(cb-128.0) + 0.5), 0), 255) AS BIGINT) AS b
+FROM ycc
 """
 
     # PT15: dedupe tokens first-occurrence order -> 15-bucket position

@@ -262,8 +262,15 @@ def encode_ppm(arr: np.ndarray) -> bytes:
 
 def decode_image(payload: bytes) -> np.ndarray | None:
     """Sniff + decode the natively-supported formats (P6 PPM, 24-bit
-    BMP, non-interlaced 8-bit PNG); None for anything else (JPEG needs
-    a codec library that does not ship here)."""
+    BMP, non-interlaced 8-bit PNG, baseline JPEG); None for anything
+    else (progressive JPEG, palette PNG, ...)."""
+    if payload.startswith(b"\xff\xd8"):
+        from orama_spark.datapipe.jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(payload)
+        except ValueError:
+            return None
     if payload.startswith(_PNG_SIG):
         try:
             return decode_png(payload)
@@ -305,9 +312,10 @@ def _image_profile(arr: np.ndarray) -> np.ndarray:
 
 
 def _decode_image_stub(payload: bytes, strict: bool) -> np.ndarray:
-    """Decode kernel: REAL pure-numpy decode for P6 PPM, 24-bit BMP and
+    """Decode kernel: REAL pure-numpy decode for P6 PPM, 24-bit BMP,
     non-interlaced 8-bit PNG (stdlib zlib inflate + the five per-row
-    filters); JPEG remains stubbed because DCT codecs don't ship here.
+    filters) and baseline JPEG (Huffman + IDCT, orama_spark.datapipe.
+    jpeg); progressive JPEG / palette PNG / exotic formats remain out.
 
     strict=True  -> NotImplementedError for undecodable payloads
     strict=False -> deterministic fake profile for undecodable payloads
@@ -317,8 +325,9 @@ def _decode_image_stub(payload: bytes, strict: bool) -> np.ndarray:
         return _image_profile(arr)
     if strict:
         raise NotImplementedError(
-            "JPEG (and other DCT/palette formats) require a codec "
-            "library (e.g. PIL); PPM/BMP/PNG decode natively — see "
+            "undecodable image payload: progressive/arithmetic JPEG, "
+            "palette/16-bit PNG etc. require a codec library (e.g. "
+            "PIL); PPM/BMP/PNG/baseline-JPEG decode natively — see "
             "decode_image"
         )
     h = hashlib.sha256(payload or b"").digest()

@@ -638,6 +638,109 @@ class TestRealImageDecode:
             ).collect()
 
 
+class TestRealJpegDecode:
+    """Baseline JPEG (T.81 sequential DCT) — pure numpy Huffman + IDCT,
+    no codec library (orama_spark.datapipe.jpeg). The encoder is the
+    matching fixture: flat-quant round-trips are exact for solid colors
+    and near-lossless for arbitrary images (only color-transform
+    rounding), standard Annex K tables give lossy-but-close output."""
+
+    def _expected_solid(self, col):
+        from orama_spark.datapipe import jpeg as J
+
+        img = np.broadcast_to(np.asarray(col, np.uint8), (1, 1, 3))
+        return J._ycbcr_to_rgb(J._rgb_to_ycbcr(img))[0, 0]
+
+    def test_solid_color_exact_444_and_420(self):
+        from orama_spark.datapipe import jpeg as J
+
+        for i, sub in [(3, False), (8, True), (250, False), (77, True)]:
+            col = [(i * 37) % 256, (i * 59) % 256, (i * 83) % 256]
+            img = np.broadcast_to(
+                np.asarray(col, np.uint8), (11, 18, 3)
+            ).copy()
+            dec = J.decode_jpeg(J.encode_jpeg(img, subsample=sub))
+            assert dec.shape == img.shape
+            assert (dec == self._expected_solid(col)).all()
+
+    def test_flat_quant_near_lossless(self):
+        from orama_spark.datapipe import jpeg as J
+
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, (24, 33, 3), dtype=np.uint8)
+        dec = J.decode_jpeg(J.encode_jpeg(img))
+        # flat quant: loss = RGB<->YCbCr rounding (±1) + integer
+        # coefficient rounding accumulated over 64 basis functions
+        ref = J._ycbcr_to_rgb(J._rgb_to_ycbcr(img))
+        assert np.abs(dec.astype(int) - ref.astype(int)).max() <= 3
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 5
+
+    def test_std_tables_lossy_but_close(self):
+        from orama_spark.datapipe import jpeg as J
+
+        rng = np.random.default_rng(4)
+        base = rng.integers(0, 256, (40, 56, 3)).astype(float)
+        smooth = np.clip(
+            (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)
+             + np.roll(base, 2, 0)) / 4, 0, 255
+        ).astype(np.uint8)
+        for sub in (False, True):
+            dec = J.decode_jpeg(J.encode_jpeg(
+                smooth, quant_luma=J.STD_LUMA_QUANT,
+                quant_chroma=J.STD_CHROMA_QUANT, subsample=sub,
+            ))
+            mse = float(np.mean((dec.astype(float) - smooth) ** 2))
+            psnr = 10 * np.log10(255.0 ** 2 / mse)
+            assert psnr > 15.0, (sub, psnr)
+
+    def test_grayscale_single_component(self):
+        from orama_spark.datapipe import jpeg as J
+
+        rng = np.random.default_rng(9)
+        g = rng.integers(0, 256, (17, 9), dtype=np.uint8)
+        dec = J.decode_jpeg(J.encode_jpeg(g))
+        assert (dec[..., 0] == dec[..., 1]).all()
+        assert np.abs(dec[..., 0].astype(int) - g.astype(int)).max() <= 1
+
+    def test_restart_markers_roundtrip(self):
+        from orama_spark.datapipe import jpeg as J
+
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+        with_rst = J.decode_jpeg(J.encode_jpeg(img, restart_interval=3))
+        without = J.decode_jpeg(J.encode_jpeg(img))
+        assert (with_rst == without).all()
+
+    def test_progressive_and_malformed_rejected(self):
+        from orama_spark.datapipe import jpeg as J
+
+        img = np.full((8, 8, 3), 100, np.uint8)
+        enc = bytearray(J.encode_jpeg(img))
+        sof = enc.find(b"\xff\xc0")
+        enc[sof + 1] = 0xC2  # rebrand SOF0 as progressive
+        with pytest.raises(ValueError):
+            J.decode_jpeg(bytes(enc))
+        with pytest.raises(ValueError):
+            J.decode_jpeg(b"\xff\xd8garbage")
+        # dispatcher contract: malformed JPEG -> None, not an exception
+        assert multimodal.decode_image(b"\xff\xd8\xff\xee\x00\x04ab") is None
+
+    def test_strict_mode_accepts_jpeg(self, spark):
+        from orama_spark.datapipe import jpeg as J
+
+        col = [10, 200, 30]
+        img = np.broadcast_to(np.asarray(col, np.uint8), (6, 9, 3)).copy()
+        rows = [{"media_id": 0, "kind": "image", "mime": "image/jpeg",
+                 "payload": J.encode_jpeg(img), "width": 9, "height": 6,
+                 "duration_ms": None}]
+        df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+        f = multimodal.extract_features(df, strict=True).collect()[0]["feature"]
+        exp = self._expected_solid(col)
+        assert f[0] == 6.0 and f[1] == 9.0
+        assert abs(f[2] - exp[0] / 255) < 1e-6
+        assert abs(f[3] - exp[1] / 255) < 1e-6
+
+
 class TestRealAudioDecode:
     def _wav_bytes(self, rate=8000, freq=440.0, secs=0.25):
         import io
