@@ -8,6 +8,22 @@ local[$SPARK_GRAFT_CPUS]:
 
 Output: {"metric": ..., "value": <total sec>, "unit": "sec",
          "queries": {name: sec}, "sf": ..., plus informative extras}.
+
+Measurement protocol (r4 VERDICT Wrong #4): this VM's vCPU steal makes
+identical deterministic runs vary 2-8x BETWEEN full passes even at
+min-of-3 back-to-back reps (back-to-back reps share a steal burst).
+So query entries are timed as the per-entry MIN across >=PASSES FULL
+PASSES over the whole suite, and each pass starts with a pure-compute
+CONTROL op (fixed numpy workload, zero Spark) whose reading calibrates
+how contended that pass was; if the best two passes' controls disagree
+by >1.5x an extra pass runs (bounded at MAX_PASSES). Builds stay
+single-shot (they dominate wall time and are one-shot by nature) except
+blocks_build, which is a pure overwrite and gets min-of-2.
+
+The full record is written to bench_out.json BEFORE anything is printed;
+stdout carries exactly ONE compact JSON line (bulky diagnostics live
+only in the file) so a bounded stdout tail always contains the complete
+line.
 """
 
 from __future__ import annotations
@@ -23,12 +39,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "50000"))
-# this VM's vCPU steal makes identical deterministic runs vary up to 3x
-# (measured — see BENCH/BASELINE.md); every query is timed REPS times and
-# the MIN recorded, the standard noise-floor protocol bench/scaling.py
-# already uses. Builds stay single-rep: they are one-shot by nature and
-# dominate wall time.
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+# within-pass repetitions per entry (min taken), as before
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+# full passes over the query suite (per-entry min across passes)
+PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+MAX_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_PASSES", "3"))
+
+
+def control_op() -> float:
+    """Pure-compute, Spark-free calibration workload: a fixed-seed
+    800x800 float64 matmul chain. Deterministic FLOPs; wall time moves
+    only with vCPU steal / memory-bandwidth contention. Calibrated band
+    on an idle VM: ~0.15-0.35 s (recorded per pass so a contended pass
+    is visible in the shipped record)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.standard_normal((800, 800))
+    t0 = time.time()
+    b = a
+    for _ in range(6):
+        b = b @ a
+        b /= np.abs(b).max()
+    return round(time.time() - t0, 3)
 
 
 def timed_min(fn) -> float:
@@ -124,12 +157,12 @@ def main() -> None:
         t0 = time.time()
         fn()
         timings[aux] = round(time.time() - t0, 3)
-    for name, fn in queries.items():
-        timings[name] = timed_min(lambda: fn(spark, SF_DIR).collect())
-        print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
-    # --- web-profile query latency on the synthetic index
+    # --- web-profile query latency + WAND setup (shared across passes)
+    from pyspark.sql import functions as F
+
     from orama_spark.query.engine import SearchIndex
+    from orama_spark.query.wand import BlockIndex
 
     widx = SearchIndex.load(spark, web_dir, web_cfg)
     web_queries = {
@@ -138,38 +171,19 @@ def main() -> None:
         "web_q_prefix": dict(term="optimiz"),
         "web_q_fuzzy": dict(term="serch", tolerance=1),
     }
-    for name, kw in web_queries.items():
-        timings[name] = timed_min(lambda: widx.search(**kw).top_df().collect())
-
-    # --- compressed posting blocks + block-max WAND (the scale path)
-    from pyspark.sql import functions as F
-
-    from orama_spark.query.wand import BlockIndex
 
     # blocks_build is rebuildable (pure overwrite of blocks/+champions/),
-    # so unlike the one-shot index builds it gets the same min-of-reps
-    # treatment as queries — round 3's single-rep number (40.7 s vs
-    # 16.3+4.3 s standalone) was burst-dominated on this VM.
+    # so unlike the one-shot index builds it gets min-of-2 — round 3's
+    # single-rep number (40.7 s vs 16.3+4.3 s standalone) was
+    # burst-dominated on this VM.
     best = float("inf")
-    for _ in range(max(2, min(REPS, 3))):
+    for _ in range(2):
         t0 = time.time()
         bidx = BlockIndex.build(spark, web_dir, web_cfg)
         best = min(best, time.time() - t0)
     timings["blocks_build"] = round(best, 3)
-    extras["blocks_build_protocol"] = "min of >=2 full rebuilds"
-    timings["web_q_wand"] = timed_min(
-        lambda: bidx.wand_topk("search engine index", k=10).collect()
-    )
-    extras["wand_pruning"] = bidx.pruning_stats("search engine index", k=10)
-    # second query shape (mid-frequency terms) so pruning evidence is
-    # not a single-query artifact
-    timings["web_q_wand2"] = timed_min(
-        lambda: bidx.wand_topk("distributed computing analysis", k=10).collect()
-    )
-    # batched WAND: 6 queries through ONE champions + ONE metadata +
-    # ONE decode job (wand_topk_many) — the serving shape that
-    # amortizes the fixed per-query driver jobs (SCALE_r04: 4.8x vs
-    # singles at 2M docs)
+    extras["blocks_build_protocol"] = "min of 2 full rebuilds"
+
     _batch6 = {
         "q0": "search engine index",
         "q1": "distributed computing analysis",
@@ -178,9 +192,51 @@ def main() -> None:
         "q4": "query language model",
         "q5": "open source software",
     }
-    timings["web_q_wand_batch6"] = timed_min(
-        lambda: bidx.wand_topk_many(_batch6, k=10).collect()
+
+    def query_pass() -> dict[str, float]:
+        """One full pass over every repeatable query entry."""
+        t: dict[str, float] = {}
+        for name, fn in queries.items():
+            t[name] = timed_min(lambda: fn(spark, SF_DIR).collect())
+        for name, kw in web_queries.items():
+            t[name] = timed_min(lambda: widx.search(**kw).top_df().collect())
+        t["web_q_wand"] = timed_min(
+            lambda: bidx.wand_topk("search engine index", k=10).collect()
+        )
+        t["web_q_wand2"] = timed_min(
+            lambda: bidx.wand_topk("distributed computing analysis", k=10).collect()
+        )
+        t["web_q_wand_batch6"] = timed_min(
+            lambda: bidx.wand_topk_many(_batch6, k=10).collect()
+        )
+        return t
+
+    # --- the multi-pass protocol (module docstring): per-entry min
+    # across full passes, each pass tagged with its control reading
+    controls: list[float] = []
+    pass_mins: dict[str, float] = {}
+    n_pass = 0
+    while n_pass < PASSES or (
+        n_pass < MAX_PASSES
+        and len(controls) >= 2
+        and sorted(controls)[1] > 1.5 * sorted(controls)[0]
+    ):
+        controls.append(control_op())
+        t = query_pass()
+        for kname, v in t.items():
+            pass_mins[kname] = min(pass_mins.get(kname, float("inf")), v)
+        n_pass += 1
+        print(f"  pass {n_pass}: control={controls[-1]}s "
+              f"total={round(sum(t.values()), 1)}s", file=sys.stderr, flush=True)
+    timings.update(pass_mins)
+    extras["control_op_sec"] = controls
+    extras["passes"] = n_pass
+    extras["protocol"] = (
+        f"per-entry min of {REPS} reps x {n_pass} full passes; "
+        "control = 800x800 float64 matmul chain, idle band 0.15-0.35 s"
     )
+
+    extras["wand_pruning"] = bidx.pruning_stats("search engine index", k=10)
     extras["wand_pruning_2"] = bidx.pruning_stats(
         "distributed computing analysis", k=10
     )
@@ -201,14 +257,22 @@ def main() -> None:
         "sf": SF_DIR,
         "extra": extras,
     }
-    # the driver captures a bounded stdout tail; round 3's record lost
-    # the head of this (single, large) JSON line. Persist it to a file
-    # first, then print — the file is the authoritative artifact.
-    line = json.dumps(out)
+    # bench_out.json carries the FULL record and is written before any
+    # stdout output; stdout gets one COMPACT line (slim extras only) so
+    # a bounded tail capture cannot truncate mid-line (r3+r4 records
+    # both lost the head of one large line).
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_out.json"), "w") as f:
-        f.write(line + "\n")
-    print(line)
+        f.write(json.dumps(out) + "\n")
+    slim = dict(out)
+    slim["extra"] = {
+        k: extras[k]
+        for k in ("cpus", "reps", "passes", "control_op_sec",
+                  "documents_build_docs_per_sec", "web_build_docs_per_sec",
+                  "block_bytes_per_posting")
+        if k in extras
+    }
+    print(json.dumps(slim), flush=True)
     spark.stop()
 
 
