@@ -68,8 +68,9 @@ def bpe_token_count(
 ) -> DataFrame:
     """(id, n_bpe_tokens): pre-tokenizer piece count per document —
     the standard proxy for LLM token budgets over a corpus (actual BPE
-    merges only ever merge WITHIN these pieces, so the piece count
-    upper-bounds and tracks the true token count). Pure-Column
+    merges only ever merge WITHIN these pieces, each piece yielding
+    >=1 token, so the piece count LOWER-bounds and tracks the true
+    token count). Pure-Column
     regexp_count: map-only, whole-stage codegen, no Python."""
     return docs.select(
         F.col(id_col).alias("id"),
