@@ -136,6 +136,45 @@ def main() -> None:
         SYNTH_DOCS / timings["index_build_web_synth"], 1
     )
 
+    # --- index build over a dense synthetic Japanese corpus: exercises
+    # the dictionary segmenter (the ja/zh build bottleneck; vectorized
+    # batch kernel in kernel/cjk_vec since r5).  Deterministic docs of
+    # real cjdict words + punctuation, ~300 chars each.
+    import random as _random
+
+    from orama_spark.kernel.cjk_dict import _load as _cjdict_load
+
+    _words = sorted(_cjdict_load().keys())
+    _rng = _random.Random(1234)
+    _ja_docs = []
+    for _i in range(6000):
+        _parts, _run = [], 0
+        while sum(len(p) for p in _parts) < 300:
+            _parts.append(_words[_rng.randrange(len(_words))])
+            _run += 1
+            if _run >= _rng.randint(4, 12):
+                _parts.append("、。！？"[_rng.randrange(4)])
+                _run = 0
+        _ja_docs.append((_i, "".join(_parts)))
+    _ja_chars = sum(len(t) for _, t in _ja_docs)
+    ja_cfg = IndexConfig(
+        schema={"text": "string"},
+        tokenizer=TokenizerConfig(language="japanese"),
+        docid_col="docid",
+    )
+    ja_dir = "/dev/shm/orama_spark_bench_jaidx"
+    shutil.rmtree(ja_dir, ignore_errors=True)
+    t0 = time.time()
+    ja_df = spark.createDataFrame(_ja_docs, "docid long, text string").repartition(CPUS)
+    IndexBuilder(ja_cfg, postings_partitions=CPUS).build(
+        ja_df, ja_dir, input_id="bench-ja-6000"
+    )
+    timings["index_build_cjk_ja"] = round(time.time() - t0, 3)
+    extras["cjk_ja_chars"] = _ja_chars
+    extras["cjk_ja_chars_per_sec"] = round(
+        _ja_chars / timings["index_build_cjk_ja"], 1
+    )
+
     # --- headline queries (driver-contract set). Round 1-3 excluded the
     # pairwise-self-join dedup queries as too slow for the bench budget;
     # after the round-3 Arrow shingle kernel they measure 3-8 s each at

@@ -56,11 +56,16 @@ def tokens_udf(config: TokenizerConfig, prop: str):
     @F.pandas_udf(ArrayType(StringType()))
     def _tokenize(col: pd.Series) -> pd.Series:
         tok = _get_tokenizer(cfg_tuple)
-        fn = tok.tokenize
-        # None for missing values: the reference skips absent properties
-        # entirely (no field_len entry, no avg update), while an empty
-        # string is a present value that tokenizes to [].
-        return col.map(lambda x: fn(x, prop) if isinstance(x, str) else None)
+        # Whole-batch tokenize: the CJK path segments the entire Arrow
+        # batch in one vectorized pass.  None for missing values: the
+        # reference skips absent properties entirely (no field_len
+        # entry, no avg update), while an empty string is a present
+        # value that tokenizes to [].
+        vals = col.tolist()
+        res = tok.tokenize_many(vals, prop)
+        return pd.Series(
+            [r if isinstance(v, str) else None for v, r in zip(vals, res)]
+        )
 
     return _tokenize
 
@@ -75,13 +80,22 @@ def tokens_arr_udf(config: TokenizerConfig, prop: str):
     @F.pandas_udf(ArrayType(ArrayType(StringType())))
     def _tokenize_arr(col: pd.Series) -> pd.Series:
         tok = _get_tokenizer(cfg_tuple)
-        fn = tok.tokenize
-
-        def one(arr):
+        # Flatten every element of every row into one batch call (the
+        # CJK path segments them all in one vectorized pass), then
+        # regroup per row.
+        vals = col.tolist()
+        flat = [x for arr in vals if arr is not None for x in arr]
+        res_iter = iter(tok.tokenize_many(flat, prop))
+        out = []
+        for arr in vals:
             if arr is None:
-                return None
-            return [fn(x, prop) if isinstance(x, str) else [] for x in arr]
-
-        return col.map(one)
+                out.append(None)
+                continue
+            row = []
+            for x in arr:
+                r = next(res_iter)
+                row.append(r if isinstance(x, str) else [])
+            out.append(row)
+        return pd.Series(out)
 
     return _tokenize_arr

@@ -112,12 +112,24 @@ def segment_bigram(text: str) -> List[str]:
 
 def _default_segmenter() -> Callable[[str], List[str]]:
     """ICU-parity dictionary segmentation (cjk_dict) when the cjdict
-    data file ships; han-bigram fallback otherwise."""
+    data file ships — vectorized (cjk_vec) with per-chunk scalar
+    fallback when numpy is importable; han-bigram fallback otherwise."""
     try:
         from .cjk_dict import dictionary_available, segment_dict
 
         if dictionary_available():
-            return segment_dict
+            try:
+                from .cjk_vec import segment_fast, segment_many
+
+                def seg(text: str) -> List[str]:
+                    r = segment_fast(text)
+                    return segment_dict(text) if r is None else r
+
+                # batch hook: tokenize_many picks this up per Arrow batch
+                seg.segment_many = segment_many  # type: ignore[attr-defined]
+                return seg
+            except Exception:
+                return segment_dict
     except Exception:
         pass
     return segment_bigram
@@ -135,3 +147,13 @@ def set_segmenter(fn: Callable[[str], List[str]]) -> None:
 
 def cjk_segment(text: str) -> List[str]:
     return _SEGMENTER(text)
+
+
+def cjk_segment_many(texts: List[str]) -> List[List[str]]:
+    """Segment a batch of texts, using the backend's batch kernel when
+    it has one (the default vectorized segmenter batches every clean CJ
+    run in the batch through one lockstep Viterbi)."""
+    many = getattr(_SEGMENTER, "segment_many", None)
+    if many is not None:
+        return many(texts)
+    return [_SEGMENTER(t) for t in texts]

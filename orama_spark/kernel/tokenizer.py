@@ -209,4 +209,35 @@ class Tokenizer:
             return list(dict.fromkeys(tokens))
         return tokens
 
+    def tokenize_many(self, texts, prop: str = "") -> list[list[str]]:
+        """Batch tokenize — output identical to
+        ``[self.tokenize(t, prop) for t in texts]``.  On the CJK path
+        the whole batch is segmented in one vectorized pass
+        (cjk.cjk_segment_many), amortizing the kernel setup across an
+        Arrow batch of documents."""
+        cfg = self.config
+        if self._split is None and not (
+            prop and prop in cfg.tokenize_skip_properties
+        ):
+            from .cjk import cjk_segment_many
+
+            sidx = [i for i, t in enumerate(texts) if isinstance(t, str)]
+            segged = cjk_segment_many([texts[i] for i in sidx])
+            out: list = [None] * len(texts)
+            for i, tokens in zip(sidx, segged):
+                while tokens and tokens[-1] == "":
+                    tokens.pop()
+                while tokens and tokens[0] == "":
+                    tokens.pop(0)
+                out[i] = (
+                    tokens
+                    if cfg.allow_duplicates
+                    else list(dict.fromkeys(tokens))
+                )
+            for i, t in enumerate(texts):
+                if out[i] is None:
+                    out[i] = [t]
+            return out
+        return [self.tokenize(t, prop) for t in texts]
+
     __call__ = tokenize
