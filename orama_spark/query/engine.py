@@ -57,6 +57,30 @@ def _escape_java_regex(s: str) -> str:
     return re.sub(r"[.*+?^${}()|\[\]\\]", lambda m: "\\" + m.group(0), s)
 
 
+# Index language -> ICU collation locale (Spark 4 collation names).
+# The reference sorts string properties with localeCompare(lang)
+# (components/sorter.ts:166-172); these are the matching ICU locales.
+_ICU_LOCALE = {
+    "arabic": "ar", "armenian": "hy", "bulgarian": "bg", "czech": "cs",
+    "danish": "da", "dutch": "nl", "english": "en", "finnish": "fi",
+    "french": "fr", "german": "de", "greek": "el", "hungarian": "hu",
+    "indian": "hi", "indonesian": "id", "irish": "ga", "italian": "it",
+    "japanese": "ja", "lithuanian": "lt", "mandarin": "zh",
+    "nepali": "ne", "norwegian": "nb", "portuguese": "pt",
+    "romanian": "ro", "russian": "ru", "sanskrit": "UNICODE",
+    "serbian": "sr", "slovenian": "sl", "spanish": "es",
+    "swedish": "sv", "tamil": "ta", "turkish": "tr", "ukrainian": "uk",
+}
+
+
+def icu_collation_for(language: str) -> Optional[str]:
+    """ICU collation name for an index language; None -> binary order
+    (F.collate unavailable or unknown language)."""
+    if not hasattr(F, "collate"):
+        return None
+    return _ICU_LOCALE.get(language)
+
+
 def _paged(df: DataFrame, keys: list, offset: int, limit: int) -> DataFrame:
     """TakeOrdered pagination: ``orderBy(keys).limit(offset+limit)``
     plans as TakeOrderedAndProject — a per-partition bounded heap plus a
@@ -835,20 +859,38 @@ class SearchIndex:
     # ------------------------------------------------------------ sort_by
     def sorted_hits_df(
         self, result: SearchResult, prop: str, order: str = "ASC",
-        offset: int = 0, limit: int = 10,
+        offset: int = 0, limit: int = 10, collation: Optional[str] = "auto",
     ) -> DataFrame:
         """sortBy property (components/sorter.ts:239-283): docs lacking
-        the property go last regardless of direction."""
+        the property go last regardless of direction.
+
+        String properties sort with ICU locale collation — the
+        reference compares strings with ``value.localeCompare(other,
+        lang)`` (components/sorter.ts:166-172), NOT binary order.
+        ``collation="auto"`` derives the ICU locale from the index
+        language; pass an explicit ICU collation name ("de",
+        "UNICODE_CI", ...) or None for raw binary order.  Spark 4's
+        ``F.collate`` keeps the comparison JVM-side (codegen'd), so the
+        TakeOrdered pagination plan is unchanged."""
         docid = self.config.docid_col
         m = result.scored.join(
             self.docs.withColumnRenamed(docid, "docid"), "docid"
         )
+        sort_col = F.col(prop)
+        if collation is not None and self.config.schema.get(prop) == "string":
+            name = (
+                icu_collation_for(self.config.tokenizer.language)
+                if collation == "auto"
+                else collation
+            )
+            if name:
+                sort_col = F.collate(F.col(prop), name)
         desc = str(order).upper() == "DESC"
         keys = [F.col(prop).isNull().asc()]
         if desc:
-            keys += [F.col(prop).desc(), F.col("docid").desc()]
+            keys += [sort_col.desc(), F.col("docid").desc()]
         else:
-            keys += [F.col(prop).asc(), F.col("docid").asc()]
+            keys += [sort_col.asc(), F.col("docid").asc()]
         return _paged(m, keys, offset, limit)
 
     def sorted_hits_by_key_df(
