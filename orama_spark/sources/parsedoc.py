@@ -23,8 +23,11 @@ fragment, index.ts:150-178).
 
 Markdown support covers the block constructs the reference test corpus
 uses plus setext headings, lists, blockquotes, thematic breaks (see
-markdown_to_html) — inline CommonMark constructs are out of
-scope and documented in COVERAGE.md.
+markdown_to_html) and the inline constructs code spans, emphasis,
+strong, links, and images (``_inline``) — each inline element becomes
+its own AST node, so e.g. ``**bold**`` inside a paragraph yields a
+``strong``-typed record, exactly as the rehype AST walk does. Deeply
+nested list/blockquote containers remain out of scope (COVERAGE.md).
 
 Spark surface: ``parse_records_df`` maps the pure-Python parser over an
 html column with ``mapInPandas`` (Arrow-batched, map-only — the explode
@@ -296,6 +299,56 @@ def _merge_into_last(records: List[dict], content: str, properties: dict) -> Non
 
 # ------------------------------------------------------------ markdown
 
+# ---- inline constructs (CommonMark subset; remark-rehype mapping:
+# `x` -> <code>, **x**/__x__ -> <strong>, *x*/_x_ -> <em>,
+# [t](u "title") -> <a>, ![a](u) -> <img/>).  Code spans bind tightest
+# (protected via placeholders before any other rule); images before
+# links; strong before em; `_` runs require non-word flanks (CommonMark
+# intraword-underscore rule).
+_CODE_SPAN = re.compile(r"(`+)(.+?)\1")
+_IMAGE = re.compile(r"!\[([^\]]*)\]\(([^)\s]*)(?:\s+\"([^\"]*)\")?\)")
+_LINK = re.compile(r"\[([^\]]*)\]\(([^)\s]*)(?:\s+\"([^\"]*)\")?\)")
+_STRONG_AST = re.compile(r"\*\*(?!\s)(.+?)(?<![\s*])\*\*")
+_EM_AST = re.compile(r"\*(?!\s)([^*]+?)(?<!\s)\*")
+_STRONG_UND = re.compile(r"(?<![\w_])__(?!\s)(.+?)(?<![\s_])__(?![\w_])")
+_EM_UND = re.compile(r"(?<![\w_])_(?!\s)([^_]+?)(?<!\s)_(?![\w_])")
+
+
+def _esc(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _inline(text: str) -> str:
+    """Render inline CommonMark constructs to HTML.  Code-span contents
+    are protected first (no markup applies inside them), then images,
+    links, strong, em — the CommonMark precedence for this subset."""
+    spans: List[str] = []
+
+    def stash(m: re.Match) -> str:
+        body = m.group(2)
+        # CommonMark: strip ONE space from both ends when both present
+        # and the content is not all spaces
+        if len(body) >= 2 and body[0] == " " and body[-1] == " " and body.strip():
+            body = body[1:-1]
+        spans.append("<code>" + _esc(body) + "</code>")
+        return f"\x00{len(spans) - 1}\x00"
+
+    text = _CODE_SPAN.sub(stash, text)
+    text = _IMAGE.sub(
+        lambda m: f'<img src="{m.group(2)}" alt="{m.group(1)}"/>', text
+    )
+    text = _LINK.sub(
+        lambda m: f'<a href="{m.group(2)}">{m.group(1)}</a>', text
+    )
+    text = _STRONG_AST.sub(lambda m: f"<strong>{m.group(1)}</strong>", text)
+    text = _EM_AST.sub(lambda m: f"<em>{m.group(1)}</em>", text)
+    text = _STRONG_UND.sub(lambda m: f"<strong>{m.group(1)}</strong>", text)
+    text = _EM_UND.sub(lambda m: f"<em>{m.group(1)}</em>", text)
+    for i, s in enumerate(spans):
+        text = text.replace(f"\x00{i}\x00", s)
+    return text
+
+
 _FENCE = re.compile(r"^```")
 _ATX = re.compile(r"^(#{1,6})\s+(.*?)\s*#*\s*$")
 _SETEXT_H1 = re.compile(r"^=+\s*$")
@@ -313,8 +366,10 @@ def markdown_to_html(md: str) -> str:
     (tight; ``start`` attribute per CommonMark when the first ordered
     marker is not 1), blockquotes (consecutive quote lines merge into
     one element, per the CommonMark lazy-continuation rule for the
-    common prefixed form), and thematic breaks. Inline constructs and
-    nested containers are out of scope (documented in COVERAGE.md).
+    common prefixed form), and thematic breaks.  Inline constructs
+    (code spans, emphasis/strong, links, images — see ``_inline``)
+    render inside paragraphs, headings, and list items; deeply nested
+    containers remain out of scope (documented in COVERAGE.md).
     The reference additionally runs rehype-document, which adds a
     DOCTYPE — emitted here so paths match (root[1].html[...])."""
     lines = md.split("\n")
@@ -322,7 +377,7 @@ def markdown_to_html(md: str) -> str:
 
     def flush() -> None:
         if para:
-            out.append("<p>" + " ".join(para) + "</p>")
+            out.append("<p>" + _inline(" ".join(para)) + "</p>")
             para.clear()
 
     while i < len(lines):
@@ -334,16 +389,18 @@ def markdown_to_html(md: str) -> str:
             while i < len(lines) and not _FENCE.match(lines[i]):
                 code.append(lines[i])
                 i += 1
-            out.append("<pre><code>" + "\n".join(code) + "</code></pre>")
+            out.append("<pre><code>" + _esc("\n".join(code)) + "</code></pre>")
         elif m := _ATX.match(ln):
             flush()
-            out.append(f"<h{len(m.group(1))}>{m.group(2)}</h{len(m.group(1))}>")
+            out.append(
+                f"<h{len(m.group(1))}>{_inline(m.group(2))}</h{len(m.group(1))}>"
+            )
         elif para and _SETEXT_H1.match(ln):
             # setext: the pending paragraph becomes the heading
-            out.append(f"<h1>{' '.join(para)}</h1>")
+            out.append(f"<h1>{_inline(' '.join(para))}</h1>")
             para.clear()
         elif para and _SETEXT_H2.match(ln):
-            out.append(f"<h2>{' '.join(para)}</h2>")
+            out.append(f"<h2>{_inline(' '.join(para))}</h2>")
             para.clear()
         elif _HR.match(ln):
             # thematic breaks INTERRUPT paragraphs (CommonMark): '***',
@@ -364,7 +421,9 @@ def markdown_to_html(md: str) -> str:
             ):
                 items.append(m2.group(1).strip())
                 i += 1
-            out.append("<ul>" + "".join(f"<li>{it}</li>" for it in items) + "</ul>")
+            out.append(
+                "<ul>" + "".join(f"<li>{_inline(it)}</li>" for it in items) + "</ul>"
+            )
         elif m := _ORDERED.match(ln):
             flush()
             start = int(m.group(1))
@@ -373,7 +432,9 @@ def markdown_to_html(md: str) -> str:
                 items.append(m2.group(2).strip())
                 i += 1
             attr = f' start="{start}"' if start != 1 else ""
-            out.append(f"<ol{attr}>" + "".join(f"<li>{it}</li>" for it in items) + "</ol>")
+            out.append(
+                f"<ol{attr}>" + "".join(f"<li>{_inline(it)}</li>" for it in items) + "</ol>"
+            )
         elif m := _QUOTE.match(ln):
             flush()
             quoted = [m.group(1)]

@@ -188,3 +188,67 @@ class TestSparkSurface:
         exp = [(x["type"], x["content"], x["path"])
                for x in parse_html_records(html)]
         assert got == exp
+
+
+class TestInlineConstructs:
+    """Inline CommonMark -> rehype AST nodes: every inline element is
+    its own text-node parent, so records carry type em/strong/code/a
+    with paths inside the containing block (index.ts AST walk)."""
+
+    def _recs(self, md, strategy="split"):
+        return [
+            (r["type"], r["content"])
+            for r in parse_md_records(md, merge_strategy=strategy)
+        ]
+
+    def test_strong_em_code_link(self):
+        recs = self._recs("A **bold** and *soft* `x<y` [here](u).")
+        assert recs == [
+            ("p", "A"), ("strong", "bold"), ("p", "and"),
+            ("em", "soft"), ("code", "x<y"),  # < survives the escape
+            ("a", "here"), ("p", "."),
+        ]
+
+    def test_code_span_protects_markup(self):
+        recs = self._recs("use `*glob*` patterns")
+        assert ("code", "*glob*") in recs
+        assert not any(t == "em" for t, _ in recs)
+
+    def test_code_span_strip_one_space(self):
+        assert ("code", "`tick`") in self._recs("a `` `tick` `` b")
+
+    def test_underscore_intraword_not_emphasis(self):
+        recs = self._recs("snake_case_name stays")
+        assert recs == [("p", "snake_case_name stays")]
+        assert ("em", "real") in self._recs("an _real_ one")
+
+    def test_image_and_link_properties(self):
+        recs = parse_md_records(
+            "See ![pic](i.png) and [docs](http://d).", merge_strategy="split"
+        )
+        a = next(r for r in recs if r["type"] == "a")
+        assert a["properties"].get("href") == "http://d"
+        assert a["content"] == "docs"
+        # images have no text child -> no record, but must not corrupt
+        # neighbors
+        assert [r["content"] for r in recs if r["type"] == "p"] == [
+            "See", "and", "."
+        ]
+
+    def test_heading_and_list_inline(self):
+        recs = self._recs("# Title *em*\n\n- item **strong**\n- plain")
+        assert ("h1", "Title") in recs
+        assert ("em", "em") in recs
+        assert ("li", "item") in recs
+        assert ("strong", "strong") in recs
+        assert ("li", "plain") in recs
+
+    def test_fenced_code_escapes_html(self):
+        recs = self._recs("```\nif a < b: print('<tag>')\n```")
+        assert recs == [("code", "if a < b: print('<tag>')")]
+
+    def test_merge_keeps_inline_boundaries(self):
+        # merge joins CONSECUTIVE same-tag-same-container records only;
+        # an inline element interrupts the run (index.ts:226-233)
+        recs = self._recs("x **b** y", strategy="merge")
+        assert recs == [("p", "x"), ("strong", "b"), ("p", "y")]
