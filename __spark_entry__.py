@@ -145,9 +145,18 @@ _TAGS_CACHE: dict[str, SearchIndex] = {}
 
 # German-splitter index over the lang='de' slice (multi-language
 # tokenizer registry, languages.ts:34-65 — language selects the split
-# regex; stemming stays opt-in as in the reference)
+# regex; stemming stays opt-in as in the reference).  The derived
+# `title` column (deterministic pick from a 16-word German vocabulary)
+# exercises locale-collated sortBy (sorter.ts:166-172 localeCompare):
+# the vocabulary's de-collation order was verified identical across
+# Spark ICU, DuckDB ICU, and Node localeCompare, and differs from
+# binary order — so the top page is collation-sensitive.  Titles never
+# match the latin query tokens, so scoring queries are unaffected.
+DE_TITLES = ["Zebra", "Äpfel", "apfel", "Öl", "oase", "über", "Uhr",
+             "straße", "Strasse", "Banane", "élan", "Elan", "zange",
+             "Ökonom", "umlaut", "Ufer"]
 DE_CONFIG = IndexConfig(
-    schema={"text": "string"},
+    schema={"text": "string", "title": "string"},
     tokenizer=TokenizerConfig(language="german"),
     docid_col="docid",
 )
@@ -158,13 +167,21 @@ def _get_de_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     idx = _DE_CACHE.get(sf_dir)
     if idx is not None:
         return idx
+    title_arr = F.array(*[F.lit(w) for w in DE_TITLES])
     df = (
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         .where(F.col("lang") == "de")
-        .select(F.col("doc_id").alias("docid"), "text")
+        .select(
+            F.col("doc_id").alias("docid"),
+            "text",
+            F.element_at(
+                title_arr, ((F.col("doc_id") * 3) % 16 + 1).cast("int")
+            ).alias("title"),
+        )
     )
     out = os.path.join(
-        "/dev/shm/orama_spark_entry_deidx", os.path.basename(os.path.normpath(sf_dir))
+        "/dev/shm/orama_spark_entry_deidx2",
+        os.path.basename(os.path.normpath(sf_dir)),
     )
     IndexBuilder(DE_CONFIG).build(df, out, input_id=sf_dir)
     idx = SearchIndex.load(spark, out, DE_CONFIG)
@@ -975,6 +992,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sr.top_df().select("docid", _r())
     q["flt_lang_de"] = flt_lang_de
 
+    # locale-collated string sortBy (sorter.ts:166-172 localeCompare):
+    # page over the matched set ordered by title under German ICU
+    # collation — the page CONTENT gates the order (Äpfel/apfel/Zebra
+    # etc. select a different top-10 under binary order)
+    def sort_title_de(spark, sf_dir):
+        idx = _get_de_index(spark, sf_dir)
+        sr = idx.search(term="merge stream")
+        return idx.sorted_hits_df(sr, "title", limit=10).select(
+            "docid", "title"
+        )
+    q["sort_title_de"] = sort_title_de
+
     # string[] searchable field (index.ts:260-301 per-element insert)
     def string_array_search(spark, sf_dir):
         idx = _get_tags_index(spark, sf_dir)
@@ -1498,7 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_stats", "sample_stratified", "pii_scrub",
         "url_blocklist", "dedup_exact_capped",
         # new in r5
-        "image_jpeg_features",
+        "image_jpeg_features", "sort_title_de",
     ]
     ordered = {k: q[k] for k in front if k in q}
     ordered.update(q)
@@ -1877,6 +1906,26 @@ FROM mt WHERE token LIKE 'spark%'
         cond=PREFIX_COND,
         split="[^a-z0-9äöüß]+",
         doc_where="lang = 'de'",
+    )
+
+    # locale-collated sortBy page: titles regenerated arithmetically,
+    # ordered under DuckDB's ICU 'de' collation (verified identical to
+    # Spark ICU and Node localeCompare on this vocabulary)
+    _de_titles_sql = "[" + ", ".join(f"'{t}'" for t in DE_TITLES) + "]"
+    sql["sort_title_de"] = (
+        _sql_prologue(split="[^a-z0-9äöüß]+", doc_where="lang = 'de'")
+        + _sql_matches(PREFIX_COND, ["merge", "stream"])
+        + f"""
+SELECT docid, title FROM (
+  SELECT s.docid AS docid,
+         ({_de_titles_sql})[((s.docid * 3) % 16)::INT + 1] AS title,
+         row_number() OVER (
+           ORDER BY ({_de_titles_sql})[((s.docid * 3) % 16)::INT + 1] COLLATE de,
+                    s.docid
+         ) AS rn
+  FROM scored s
+) t WHERE rn <= 10
+"""
     )
 
     # string[]: tags = [lang, source]; fl = len(LAST element's tokens)
