@@ -1211,6 +1211,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_bpe_tokens"] = bpe_tokens
 
+    # EXACT byte-level BPE token count (GPT-2 encoder.py merge loop,
+    # per pre-tokenizer piece, Arrow kernel + piece memo) under the
+    # deterministic DEFAULT_BPE_MERGES rank table — whose
+    # non-chaining pairs make the count closed-form for the oracle
+    # (bytes minus non-overlapping pair occurrences) while the kernel
+    # runs the real recursive algorithm (chain-merge behavior pinned
+    # in test_datapipe)
+    def bpe_exact(spark, sf_dir):
+        from orama_spark.datapipe.text_quality import bpe_exact_token_count
+
+        return bpe_exact_token_count(_docs(spark, sf_dir)).select(
+            F.col("id").alias("docid"),
+            F.col("n_bpe_tokens_exact").cast("long").alias("n_bpe_exact"),
+        )
+    q["text_bpe_exact"] = bpe_exact
+
     def winnow(spark, sf_dir):
         from orama_spark.datapipe.text_quality import winnowing_fingerprints
 
@@ -1527,7 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_stats", "sample_stratified", "pii_scrub",
         "url_blocklist", "dedup_exact_capped",
         # new in r5
-        "image_jpeg_features", "sort_title_de",
+        "image_jpeg_features", "sort_title_de", "text_bpe_exact",
     ]
     ordered = {k: q[k] for k in front if k in q}
     ordered.update(q)
@@ -2424,6 +2440,22 @@ FROM m
     sql["text_bpe_tokens"] = """
 SELECT doc_id AS docid,
        len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\p{L}\p{N}]+|[ \t\n\r\f]+', 0)) AS n_bpe_tokens
+FROM documents
+"""
+
+    # exact BPE under DEFAULT_BPE_MERGES [th er on an in qu]: rights
+    # and lefts are disjoint symbol sets, so pair occurrences never
+    # chain or share a byte -> exact count = utf8 bytes minus
+    # non-overlapping pair occurrences (RE2 counts those)
+    sql["text_bpe_exact"] = """
+SELECT doc_id AS docid,
+       strlen(text)
+       - len(regexp_extract_all(text, 'th'))
+       - len(regexp_extract_all(text, 'er'))
+       - len(regexp_extract_all(text, 'on'))
+       - len(regexp_extract_all(text, 'an'))
+       - len(regexp_extract_all(text, 'in'))
+       - len(regexp_extract_all(text, 'qu')) AS n_bpe_exact
 FROM documents
 """
 

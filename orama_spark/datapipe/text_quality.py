@@ -8,6 +8,8 @@ each) — the map-only shape is preserved either way.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -77,6 +79,114 @@ def bpe_token_count(
         F.regexp_count(F.col(text_col), F.lit(BPE_SPLIT_PATTERN)).alias(
             "n_bpe_tokens"
         ),
+    )
+
+
+# Default merge-rank table for bpe_exact_token_count: a deterministic
+# STAND-IN for a released merges file (a real vocab.bpe — e.g. GPT-2's,
+# one "left right" pair per line in rank order — drops in unchanged; no
+# network in this environment to fetch one). The pairs are chosen so no
+# pair's right symbol is any pair's left symbol (and vice versa), so
+# occurrences can never chain or share a byte — which makes the exact
+# token count closed-form (bytes - pair occurrences) and therefore
+# SQL-expressible for the driver oracle, while the kernel still runs
+# the full recursive merge loop.
+DEFAULT_BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("e", "r"), ("o", "n"), ("a", "n"), ("i", "n"), ("q", "u"),
+]
+
+# Python-side twin of BPE_SPLIT_PATTERN (RE2 \p{L}/\p{N} have no direct
+# Python-re spelling: [^\W\d_] = unicode letters, \d = decimal digits).
+# Class differences (Nl/No) cannot move a boundary between two ASCII
+# letters, which is all the byte-pair counting depends on.
+_PY_BPE_PIECE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[^\W\d_]+| ?\d+"
+    r"| ?(?:[^\w \t\n\r\f]|_)+"
+    r"|[ \t\n\r\f]+"
+)
+
+
+def bpe_exact_token_count(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """(id, n_bpe_tokens_exact): TRUE byte-level BPE token count under a
+    merge-rank table — the published GPT-2 algorithm (encoder.py
+    ``bpe()``: repeatedly merge the lowest-rank adjacent symbol pair,
+    all its occurrences left-to-right, until no ranked pair remains),
+    applied per pre-tokenizer piece over UTF-8 bytes.  Arrow-batched
+    map-only kernel with a per-executor piece memo (Zipf piece
+    frequencies make the memo the dominant path — the same cache shape
+    as the tokenizer normalization memo).
+
+    ``merges``: ordered (left, right) pairs, rank = position — the
+    parsed lines of a released vocab.bpe.  Defaults to
+    DEFAULT_BPE_MERGES (deterministic stand-in, see note there)."""
+    from pyspark.sql.types import LongType
+
+    table = merges if merges is not None else DEFAULT_BPE_MERGES
+    ranks = {
+        (l.encode("utf-8"), r.encode("utf-8")): i
+        for i, (l, r) in enumerate(table)
+    }
+
+    @F.pandas_udf(LongType())
+    def _count(texts: pd.Series) -> pd.Series:
+        memo: dict = getattr(_count, "_memo", None)
+        if memo is None:
+            memo = {}
+            _count._memo = memo
+
+        def bpe_len(piece: str) -> int:
+            n = memo.get(piece)
+            if n is not None:
+                return n
+            word = [bytes([b]) for b in piece.encode("utf-8")]
+            while len(word) > 1:
+                best = None
+                for i in range(len(word) - 1):
+                    r = ranks.get((word[i], word[i + 1]))
+                    if r is not None and (best is None or r < best[0]):
+                        best = (r, word[i], word[i + 1])
+                if best is None:
+                    break
+                _, first, second = best
+                new_word: list = []
+                i = 0
+                while i < len(word):
+                    try:
+                        j = word.index(first, i)
+                    except ValueError:
+                        new_word.extend(word[i:])
+                        break
+                    new_word.extend(word[i:j])
+                    if j < len(word) - 1 and word[j + 1] == second:
+                        new_word.append(first + second)
+                        i = j + 2
+                    else:
+                        new_word.append(word[j])
+                        i = j + 1
+                word = new_word
+            n = len(word)
+            if len(memo) >= 65536:
+                memo.clear()  # wholesale eviction, same as WAND caches
+            memo[piece] = n
+            return n
+
+        out = []
+        for t in texts:
+            if not isinstance(t, str):
+                out.append(None)
+                continue
+            out.append(sum(bpe_len(p) for p in _PY_BPE_PIECE.findall(t)))
+        return pd.Series(out, dtype="object")
+
+    return docs.select(
+        F.col(id_col).alias("id"),
+        _count(F.col(text_col)).alias("n_bpe_tokens_exact"),
     )
 
 

@@ -860,3 +860,74 @@ class TestBpeTokenCount:
         df = spark.createDataFrame([(0, "don't")], "doc_id long, text string")
         # don + 't = 2 pieces (the contraction alternates split it)
         assert bpe_token_count(df).collect()[0]["n_bpe_tokens"] == 2
+
+
+class TestBpeExactTokenCount:
+    """bpe_exact_token_count runs the real GPT-2 merge loop; the
+    DEFAULT_BPE_MERGES table additionally admits a closed form (bytes -
+    pair occurrences, pairs can never chain) which the driver oracle
+    uses — pinned here cross-engine."""
+
+    def test_closed_form_matches_kernel(self, spark):
+        import duckdb
+
+        from orama_spark.datapipe.text_quality import (
+            DEFAULT_BPE_MERGES, bpe_exact_token_count,
+        )
+
+        samples = ["the modern question", "an onion in a banana bin",
+                   "thththt erer nini anon ququ", "it's 2024!",
+                   "Äther über quälen", "", "   ", "inner monologue on"]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(samples)], "doc_id long, text string"
+        )
+        got = {r["id"]: r["n_bpe_tokens_exact"]
+               for r in bpe_exact_token_count(df).collect()}
+        con = duckdb.connect()
+        for i, s in enumerate(samples):
+            terms = " - ".join(
+                f"len(regexp_extract_all(?, '{l}{r}'))"
+                for l, r in DEFAULT_BPE_MERGES
+            )
+            want = con.sql(
+                f"SELECT strlen(?) - {terms}",
+                params=[s] * (1 + len(DEFAULT_BPE_MERGES)),
+            ).fetchone()[0]
+            assert got[i] == want, (s, got[i], want)
+
+    def test_recursive_chain_merges(self, spark):
+        """A table whose merges CHAIN ((e,r) then (er,n)) proves the
+        kernel is the general recursive algorithm, not the closed
+        form."""
+        from orama_spark.datapipe.text_quality import bpe_exact_token_count
+
+        df = spark.createDataFrame(
+            [(0, "modern"), (1, "ferner"), (2, "ern er n")],
+            "doc_id long, text string",
+        )
+        merges = [("e", "r"), ("er", "n"), ("o", "d")]
+        got = {r["id"]: r["n_bpe_tokens_exact"]
+               for r in bpe_exact_token_count(df, merges=merges).collect()}
+        # modern -> m,od,ern ; ferner -> f,er,n,er (ties: lowest rank
+        # (e,r) merges ALL occurrences first, then (er,n) merges the
+        # first er+n) -> f,ern,er ; "ern er n" -> [ern],[ er],[ n]
+        # pieces: "ern"-> ern(1); " er"-> space,er(2); " n"-> space,n(2)
+        assert got[0] == 3
+        assert got[1] == 3
+        assert got[2] == 5
+
+    def test_exact_at_least_pieces(self, spark):
+        """Pieces lower-bound exact tokens (each piece >= 1 token)."""
+        from orama_spark.datapipe.text_quality import (
+            bpe_exact_token_count, bpe_token_count,
+        )
+
+        samples = ["the quick brown fox", "on and on and on", "q u i"]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(samples)], "doc_id long, text string"
+        )
+        pieces = {r["id"]: r["n_bpe_tokens"] for r in bpe_token_count(df).collect()}
+        exact = {r["id"]: r["n_bpe_tokens_exact"]
+                 for r in bpe_exact_token_count(df).collect()}
+        for i in pieces:
+            assert exact[i] >= pieces[i]
