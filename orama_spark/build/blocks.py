@@ -90,6 +90,13 @@ BLOCKS_SCHEMA = StructType(
         StructField("max_score", DoubleType(), False),
         StructField("min_score", DoubleType(), False),
         StructField("df", LongType(), False),
+        # per-ENCODER-FRAGMENT champion rank (1..champion_blocks by
+        # max_score desc, first_docid asc; 0 = not a candidate).  A term
+        # split across range partitions gets a rank per fragment, so
+        # this is a SUPERSET prefilter: the global top-k champions are
+        # always contained in rows with champ_rk > 0, and the (small)
+        # exact window at champion-build time re-ranks them.
+        StructField("champ_rk", IntegerType(), False),
     ]
 )
 
@@ -209,6 +216,7 @@ def build_blocks(
     stats: dict,
     bm25: BM25Params,
     block_size: int = BLOCK_SIZE,
+    champion_blocks: int = 8,
 ) -> DataFrame:
     """postings -> compressed blocks in length-ordered internal docid space.
 
@@ -276,6 +284,11 @@ def build_blocks(
                 cuts = np.concatenate(([0], np.cumsum(_varint_nb(a))))
                 return buf, cuts
 
+            # fragment-local champion candidates (see BLOCKS_SCHEMA)
+            order = np.lexsort((internals[bstarts], -ubs))
+            nc = min(champion_blocks, len(bstarts))
+            champ = np.zeros(len(bstarts), dtype=np.int64)
+            champ[order[:nc]] = np.arange(1, nc + 1)
             buf_d, cut_d = enc_stream(deltas)
             buf_o, cut_o = enc_stream(origs.astype(np.uint64))
             buf_f, cut_f = enc_stream(fls.astype(np.uint64))
@@ -301,6 +314,7 @@ def build_blocks(
                         # score without a dictionary join (it is constant
                         # per (field, term) — denormalized metadata)
                         "df": int(df_val),
+                        "champ_rk": int(champ[bi]),
                     }
                 )
 

@@ -546,7 +546,10 @@ class BlockIndex:
             os.remove(stamp_path)
         postings = spark.read.parquet(os.path.join(index_dir, "postings"))
         dictionary = spark.read.parquet(os.path.join(index_dir, "dictionary"))
-        blocks = build_blocks(postings, dictionary, stats, config.bm25)
+        blocks = build_blocks(
+            postings, dictionary, stats, config.bm25,
+            champion_blocks=CHAMPION_BLOCKS,
+        )
         blocks.write.mode("overwrite").parquet(os.path.join(index_dir, "blocks"))
         # champion lists: per (field, term), the top CHAMPION_BLOCKS
         # blocks decoded + scored now so queries seed θ from a small
@@ -555,20 +558,20 @@ class BlockIndex:
         # pick a handful). Sorted by (field, term) so the query-time
         # term IN-list prunes via parquet min/max.
         blocks_df = spark.read.parquet(os.path.join(index_dir, "blocks"))
-        # champion block KEYS from metadata only — the binary payloads
-        # never enter the window shuffle; the tiny key frame then
-        # equi-joins the payload scan (on a bucketed/blocked layout this
-        # join is co-located; here AQE picks the strategy).
+        # The encoder already ranked candidates per fragment
+        # (champ_rk > 0, a superset of the global top-k: blocks.py
+        # BLOCKS_SCHEMA) — the scan filter pushes down to parquet and
+        # the exact window re-ranks only ~vocab x CHAMPION_BLOCKS
+        # candidate rows: no full-metadata shuffle, no payload re-join.
         w = Window.partitionBy("field", "term").orderBy(
             F.desc("max_score"), F.asc("first_docid")
         )
-        keys = (
-            blocks_df.select("field", "term", "first_docid", "max_score")
+        champ_blocks = (
+            blocks_df.where(F.col("champ_rk") > 0)
             .withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= CHAMPION_BLOCKS)
-            .select("field", "term", "first_docid")
+            .drop("_rk")
         )
-        champ_blocks = blocks_df.join(keys, ["field", "term", "first_docid"])
         avgs = {f_: float(v["avg_field_length"]) for f_, v in stats["fields"].items()}
         champs = champ_blocks.mapInPandas(
             _score_blocks_fn(avgs, float(stats["docs_count"]), config.bm25,
