@@ -29,6 +29,8 @@ import subprocess
 import sys
 import time
 
+import pandas as pd
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -108,6 +110,50 @@ def run_level(cores: int) -> dict:
     web.select(F.sum(F.size(tok_col)).alias("n_tokens")).collect()
     t_tokenize = time.time() - t0
 
+    # --- leg 1b: CJK dictionary segmentation (vectorized lockstep
+    # Viterbi, kernel/cjk_vec, new r5) over a deterministic ja corpus —
+    # the ja/zh build hot path, numpy-kernel dense
+    from pyspark.sql.types import StringType as _Str
+
+    n_ja = max(20_000, N_DOCS // 4)
+
+    @F.pandas_udf(_Str())
+    def _ja_text(ids: pd.Series) -> pd.Series:
+        import random
+
+        from orama_spark.kernel import cjk_dict as _cd
+
+        words = list(_cd._load())  # worker-cached, insertion-ordered
+        outs = []
+        for i in ids:
+            rng = random.Random(int(i))
+            parts, run, total = [], 0, 0
+            while total < 300:
+                w = words[rng.randrange(len(words))]
+                parts.append(w)
+                total += len(w)
+                run += 1
+                if run >= rng.randint(4, 12):
+                    parts.append("、。！？"[rng.randrange(4)])
+                    total += 1
+                    run = 0
+            outs.append("".join(parts))
+        return pd.Series(outs)
+
+    ja_path = f"/dev/shm/orama_scaling_ja_{cores}"
+    spark.range(n_ja).repartition(cores * 2).select(
+        F.col("id").alias("doc_id"), _ja_text(F.col("id")).alias("text")
+    ).write.mode("overwrite").parquet(ja_path)
+    ja = spark.read.parquet(ja_path)
+    ja_chars = ja.select(F.sum(F.length("text"))).collect()[0][0]
+    from orama_spark.kernel.tokenizer import TokenizerConfig as _TC
+
+    t0 = time.time()
+    ja_tok = tokens_udf(_TC(language="japanese"), "text")(F.col("text"))
+    ja.select(F.sum(F.size(ja_tok)).alias("n_tokens")).collect()
+    t_cjk = time.time() - t0
+    shutil.rmtree(ja_path, ignore_errors=True)
+
     # --- leg 2: MinHash signatures — 64 (a*x+b) mod p reductions per
     # k-gram: genuinely ALU-dense per input byte, the leg whose
     # core-scaling the VM can actually express
@@ -166,6 +212,9 @@ def run_level(cores: int) -> dict:
         "minhash_docs_per_sec": round(N_DOCS / t_minhash, 1),
         "t_tokenize_sec": round(t_tokenize, 2),
         "tokenize_docs_per_sec": round(N_DOCS / t_tokenize, 1),
+        "t_cjk_sec": round(t_cjk, 2),
+        "cjk_chars": int(ja_chars),
+        "cjk_mchars_per_sec": round(ja_chars / t_cjk / 1e6, 2),
         "t_build_sec": round(t_build, 2),
         "build_docs_per_sec": round(N_DOCS / t_build, 1),
         "t_query_batch_sec": round(t_query, 2),
@@ -218,6 +267,8 @@ def main() -> None:
     t32m = min(r["t_minhash_sec"] for r in runs[hi])
     t8t = min(r["t_tokenize_sec"] for r in runs[lo])
     t32t = min(r["t_tokenize_sec"] for r in runs[hi])
+    t8j = min(r["t_cjk_sec"] for r in runs[lo])
+    t32j = min(r["t_cjk_sec"] for r in runs[hi])
     t8b = min(r["t_build_sec"] for r in runs[lo])
     t32b = min(r["t_build_sec"] for r in runs[hi])
     t8q = min(r["t_query_batch_sec"] for r in runs[lo])
@@ -226,6 +277,7 @@ def main() -> None:
     t32c = min(r["t_query_concurrent_sec"] for r in runs[hi])
     eff_min = (t8m / t32m) / ratio
     eff_tok = (t8t / t32t) / ratio
+    eff_cjk = (t8j / t32j) / ratio
     eff_build = (t8b / t32b) / ratio
     eff_query = (t8q / t32q) / ratio
     eff_conc = (t8c / t32c) / ratio
@@ -283,6 +335,8 @@ def main() -> None:
         f"| minhash throughput (docs/s) | {r8['minhash_docs_per_sec']} | {r32['minhash_docs_per_sec']} | — |",
         f"| tokenize-only wall (s) | {r8['t_tokenize_sec']} | {r32['t_tokenize_sec']} | {eff_tok:.3f} |",
         f"| tokenize throughput (docs/s) | {r8['tokenize_docs_per_sec']} | {r32['tokenize_docs_per_sec']} | — |",
+        f"| CJK ja segmentation wall (s, vectorized Viterbi, {r8['cjk_chars']:,} chars) | {t8j} | {t32j} | {eff_cjk:.3f} |",
+        f"| CJK throughput (Mchars/s) | {round(r8['cjk_chars']/t8j/1e6, 2)} | {round(r8['cjk_chars']/t32j/1e6, 2)} | — |",
         f"| index build wall (s) | {r8['t_build_sec']} | {r32['t_build_sec']} | {eff_build:.3f} |",
         f"| build throughput (docs/s) | {r8['build_docs_per_sec']} | {r32['build_docs_per_sec']} | — |",
         f"| query batch wall, sequential (s, {r8['queries_run']} q) | {r8['t_query_batch_sec']} | {r32['t_query_batch_sec']} | {eff_query:.3f} |",
@@ -329,6 +383,7 @@ def main() -> None:
         f.write("\n".join(lines) + "\n")
     print(json.dumps({"efficiency_minhash": round(eff_min, 3),
                       "efficiency_tokenize": round(eff_tok, 3),
+                      "efficiency_cjk": round(eff_cjk, 3),
                       "efficiency_build": round(eff_build, 3),
                       "efficiency_query_conc": round(eff_conc, 3)}))
 
