@@ -589,6 +589,32 @@ def _get_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     return idx
 
 
+_RESTORED_CACHE: dict[str, SearchIndex] = {}
+
+
+def _get_restored_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    """The entry index round-tripped through the reference persistence
+    wire format: save_dump (methods/serialization.ts:22-31 shape) ->
+    msgpack-hex 'binary' payload (plugin-data-persistence/src/
+    index.ts:54-93) -> verbatim restore into a fresh parquet layout.
+    Queries over it gate that the dump preserves BM25-exact state."""
+    idx = _RESTORED_CACHE.get(sf_dir)
+    if idx is not None:
+        return idx
+    from orama_spark import persistence as _P
+
+    _get_index(spark, sf_dir)  # ensure the source index dir is built
+    base = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join("/dev/shm/orama_spark_entry_idx", base)
+    payload = _P.persist(spark, src, DOC_CONFIG, format="binary")
+    out = os.path.join("/dev/shm/orama_spark_entry_restored", base)
+    _P.restore(spark, payload, out, DOC_CONFIG, format="binary",
+               mode="verbatim")
+    idx = SearchIndex.load(spark, out, DOC_CONFIG)
+    _RESTORED_CACHE[sf_dir] = idx
+    return idx
+
+
 def _r(col: str = "score"):
     return F.round(F.col(col), 6).alias(col)
 
@@ -694,6 +720,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- full-text core (SURVEY §2.4), default prefix semantics --
     q["flt_single"] = _q_topk("spark")
+
+    # persistence round trip (SURVEY §2.1 save/load + plugin-data-
+    # persistence): the SAME top-k, answered by an index that went
+    # through save_dump -> msgpack-hex payload -> verbatim restore.
+    # Any loss anywhere in the wire format (radix structure, tf,
+    # field lengths, stats) shifts these scores off the oracle.
+    def persist_roundtrip(spark, sf_dir):
+        idx = _get_restored_index(spark, sf_dir)
+        sr = idx.search(term="spark merge", limit=10)
+        return sr.top_df().select("docid", _r())
+    q["persist_roundtrip"] = persist_roundtrip
     q["flt_multi_or"] = _q_topk("spark merge stream")
     q["flt_and"] = _q_topk("spark merge", threshold=0.0)
 
@@ -1544,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist", "dedup_exact_capped",
         # new in r5
         "image_jpeg_features", "sort_title_de", "text_bpe_exact",
+        "persist_roundtrip",
     ]
     ordered = {k: q[k] for k in front if k in q}
     ordered.update(q)
@@ -1556,6 +1594,9 @@ def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
     sql["flt_single"] = _sql_topk("spark", cond=PREFIX_COND)
+    # identical semantics to a direct query — the round trip must be
+    # score-invisible
+    sql["persist_roundtrip"] = _sql_topk("spark merge", cond=PREFIX_COND)
     sql["flt_multi_or"] = _sql_topk("spark merge stream", cond=PREFIX_COND)
     sql["flt_and"] = _sql_topk("spark merge", cond=PREFIX_COND, and_mode=True)
     sql["flt_prefix"] = _sql_topk("sca", cond="tok.term LIKE qt.qtoken || '%'")
