@@ -90,12 +90,19 @@ BLOCKS_SCHEMA = StructType(
         StructField("max_score", DoubleType(), False),
         StructField("min_score", DoubleType(), False),
         StructField("df", LongType(), False),
-        # per-ENCODER-FRAGMENT champion rank (1..champion_blocks by
-        # max_score desc, first_docid asc; 0 = not a candidate).  A term
-        # split across range partitions gets a rank per fragment, so
-        # this is a SUPERSET prefilter: the global top-k champions are
-        # always contained in rows with champ_rk > 0, and the (small)
-        # exact window at champion-build time re-ranks them.
+        # per-ENCODER-FRAGMENT champion-candidate mark (>0 = candidate;
+        # 0 = not). Candidates are the UNION of (a) the fragment's top
+        # champion_blocks blocks by (max_score desc, first_docid asc)
+        # and (b) the fragment's FIRST champion_blocks blocks in
+        # internal order — the internal axis is length-ordered, so
+        # scores decay along it and the first blocks hold each term's
+        # top-scoring postings (exactly so for single-field trivial-tf
+        # indexes; approximately otherwise, which is why (a) is kept).
+        # A term split across range partitions gets marks per fragment,
+        # so this is a SUPERSET prefilter under BOTH orderings: the
+        # global winners are always contained in rows with champ_rk > 0,
+        # and the (small) exact windows at champion-build time re-rank
+        # them at posting level.
         StructField("champ_rk", IntegerType(), False),
     ]
 )
@@ -284,11 +291,21 @@ def build_blocks(
                 cuts = np.concatenate(([0], np.cumsum(_varint_nb(a))))
                 return buf, cuts
 
-            # fragment-local champion candidates (see BLOCKS_SCHEMA)
+            # fragment-local champion candidates (see BLOCKS_SCHEMA):
+            # union of top-nc by (max_score desc, internal asc) and the
+            # first nc blocks of the run (score decays along the
+            # length-ordered internal axis, so these hold the term's
+            # top-scoring postings — the multi-term-overlap docs that
+            # max_score ranking alone misses)
             order = np.lexsort((internals[bstarts], -ubs))
             nc = min(champion_blocks, len(bstarts))
             champ = np.zeros(len(bstarts), dtype=np.int64)
             champ[order[:nc]] = np.arange(1, nc + 1)
+            head = np.arange(nc)
+            champ[head] = np.where(
+                champ[head] > 0, champ[head],
+                champion_blocks + 1 + head,
+            )
             buf_d, cut_d = enc_stream(deltas)
             buf_o, cut_o = enc_stream(origs.astype(np.uint64))
             buf_f, cut_f = enc_stream(fls.astype(np.uint64))

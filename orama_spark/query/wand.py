@@ -551,33 +551,41 @@ class BlockIndex:
             champion_blocks=CHAMPION_BLOCKS,
         )
         blocks.write.mode("overwrite").parquet(os.path.join(index_dir, "blocks"))
-        # champion lists: per (field, term), the top CHAMPION_BLOCKS
-        # blocks decoded + scored now so queries seed θ from a small
-        # pushdown scan (instead of a window over ALL block metadata,
-        # which at web scale shuffles ~docfreq/128 rows per term just to
-        # pick a handful). Sorted by (field, term) so the query-time
-        # term IN-list prunes via parquet min/max.
+        # champion lists: per (field, term), the top CHAMPION_BLOCKS ×
+        # CHAMPION_POSTINGS_PER_BLOCK POSTINGS by score, decoded + scored
+        # now so queries seed θ from a small pushdown scan (instead of a
+        # window over ALL block metadata, which at web scale shuffles
+        # ~docfreq/128 rows per term just to pick a handful). Sorted by
+        # (field, term) so the query-time term IN-list prunes via
+        # parquet min/max.
         blocks_df = spark.read.parquet(os.path.join(index_dir, "blocks"))
-        # The encoder already ranked candidates per fragment
-        # (champ_rk > 0, a superset of the global top-k: blocks.py
-        # BLOCKS_SCHEMA) — the scan filter pushes down to parquet and
-        # the exact window re-ranks only ~vocab x CHAMPION_BLOCKS
-        # candidate rows: no full-metadata shuffle, no payload re-join.
-        w = Window.partitionBy("field", "term").orderBy(
-            F.desc("max_score"), F.asc("first_docid")
-        )
-        champ_blocks = (
-            blocks_df.where(F.col("champ_rk") > 0)
-            .withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") <= CHAMPION_BLOCKS)
-            .drop("_rk")
-        )
+        # The encoder marked candidate blocks per fragment (champ_rk > 0
+        # = union of top-by-max_score and first-by-internal, a superset
+        # of the blocks holding each term's top postings: blocks.py
+        # BLOCKS_SCHEMA). Ranking at POSTING level — not block level —
+        # makes θ independent of how the block grid happens to cut the
+        # posting run: the r4→r5 2M rebuild showed block-level champions
+        # swinging θ 6.11→3.72 purely on grid alignment, while the
+        # posting-level pool reproduces the tight 6.11 deterministically.
+        # The scan filter pushes down to parquet; decode touches only
+        # ~vocab × 2·CHAMPION_BLOCKS candidate blocks per fragment; the
+        # exact window is partitioned by (field, term) over ≤ a few
+        # thousand scored rows per term — bounded, never global.
+        champ_cand = blocks_df.where(F.col("champ_rk") > 0)
         avgs = {f_: float(v["avg_field_length"]) for f_, v in stats["fields"].items()}
-        champs = champ_blocks.mapInPandas(
+        scored = champ_cand.mapInPandas(
             _score_blocks_fn(avgs, float(stats["docs_count"]), config.bm25,
                              clipped=False, with_key=True,
                              top_n=CHAMPION_POSTINGS_PER_BLOCK),
             "field string, term string, docid long, s double",
+        )
+        wp = Window.partitionBy("field", "term").orderBy(
+            F.desc("s"), F.asc("docid")
+        )
+        champs = (
+            scored.withColumn("_rk", F.row_number().over(wp))
+            .where(F.col("_rk") <= CHAMPION_BLOCKS * CHAMPION_POSTINGS_PER_BLOCK)
+            .drop("_rk")
         )
         (
             champs.repartitionByRange("field", "term")

@@ -26,7 +26,7 @@ Two legs:
      first rep over 60 s stands alone) and partials are persisted
      after every query.
 
-Writes SCALE_r04.json (one JSON object). Run on an otherwise-idle box:
+Writes SCALE_r05.json by default ($SCALE_OUT overrides). Run on an otherwise-idle box:
 this VM's vCPU steal contaminates concurrent measurements.
 
 Usage: python tools/scale_leg.py [--leg A|B|all]
@@ -48,7 +48,7 @@ import numpy as np
 
 WEB_SCALES = [50_000, 500_000]
 QUERY_REPS = 3
-OUT_PATH = os.path.join(REPO, "SCALE_r04.json")
+OUT_PATH = os.path.join(REPO, os.environ.get("SCALE_OUT", "SCALE_r05.json"))
 SF01 = "/root/testdata/sf0.1"
 SF1_DIR = "/dev/shm/orama_spark_sf1"
 
