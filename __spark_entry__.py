@@ -1000,6 +1000,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["image_jpeg_features"] = image_jpeg
 
+    # MP3 / MP4 container metadata gated end-to-end: deterministic
+    # valid MPEG-1 Layer III streams (ID3v2-tagged every 12th) and
+    # ISO-BMFF boxes (mvhd v0/v1, varying timescales) are synthesized
+    # per doc_id, pushed through the real sniff-and-parse kernel
+    # (datapipe.containers, map-only mapInPandas), and every emitted
+    # field is compared to the oracle's closed form — integer floor
+    # arithmetic end to end, so the match is exact.
+    def media_container(spark, sf_dir):
+        from orama_spark.datapipe import containers as ct
+
+        docs = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .where(F.col("doc_id") % 3 == 0)
+            .select("doc_id")
+        )
+
+        def gen(batches):
+            import pandas as _pd
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["doc_id"].astype(int):
+                    i = int(i)
+                    if i % 2 == 0:
+                        payload = ct.synth_mp3(
+                            n_frames=(i % 20) + 5,
+                            bitrate_kbps=[64, 96, 128, 160, 192][i % 5],
+                            sample_rate=[44100, 48000, 32000][(i // 3) % 3],
+                            mono=(i % 4 == 0),
+                            id3_title=(
+                                f"doc {i}".encode() if i % 12 == 0 else None
+                            ),
+                            fill=i % 251,
+                        )
+                    else:
+                        payload = ct.synth_mp4(
+                            duration_ms=1000 + (i % 97) * 10,
+                            timescale=[1000, 600, 90000][(i // 3) % 3],
+                            n_tracks=((i // 3) % 3) + 1,
+                            brand=["isom", "mp42", "dash"][(i % 9) // 3],
+                            mvhd_v1=(i % 5 == 0),
+                            fill=i % 251,
+                        )
+                    rows.append({"media_id": i, "payload": payload})
+                yield _pd.DataFrame(rows)
+
+        media = docs.mapInPandas(gen, "media_id long, payload binary")
+        return ct.container_metadata(media, strict=True)
+    q["media_container_meta"] = media_container
+
     # alternative scorers (SURVEY §2.10)
     def pt15_topk(spark, sf_dir):
         idx = _get_alt_index(spark, sf_dir, "pt15")
@@ -1581,7 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist", "dedup_exact_capped",
         # new in r5
         "image_jpeg_features", "sort_title_de", "text_bpe_exact",
-        "persist_roundtrip",
+        "persist_roundtrip", "media_container_meta",
     ]
     ordered = {k: q[k] for k in front if k in q}
     ordered.update(q)
@@ -1852,6 +1902,30 @@ SELECT doc_id AS media_id,
        CAST(LEAST(GREATEST(FLOOR(y - 0.344136*(cb-128.0) - 0.714136*(cr-128.0) + 0.5), 0), 255) AS BIGINT) AS g,
        CAST(LEAST(GREATEST(FLOOR(y + 1.772*(cb-128.0) + 0.5), 0), 255) AS BIGINT) AS b
 FROM ycc
+"""
+
+    # Container metadata in closed form: the synth derives every MP3 /
+    # MP4 parameter from doc_id, and the parser reproduces it with
+    # integer floor arithmetic (duration = samples*1000 // rate;
+    # mvhd duration * 1000 // timescale) — restated here verbatim.
+    sql["media_container_meta"] = """
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'mp3' ELSE 'mp4' END AS container,
+  CASE WHEN doc_id % 2 = 0
+    THEN ((doc_id % 20) + 5) * 1152 * 1000
+         // ([44100, 48000, 32000][CAST((doc_id // 3) % 3 AS INT) + 1])
+    ELSE 1000 + (doc_id % 97) * 10 END AS duration_ms,
+  CASE WHEN doc_id % 2 = 0
+    THEN [64, 96, 128, 160, 192][CAST(doc_id % 5 AS INT) + 1] END AS bitrate_kbps,
+  CASE WHEN doc_id % 2 = 0
+    THEN [44100, 48000, 32000][CAST((doc_id // 3) % 3 AS INT) + 1] END AS sample_rate,
+  CASE WHEN doc_id % 2 = 0
+    THEN CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 2 END END AS channels,
+  CASE WHEN doc_id % 2 = 0 THEN (doc_id % 20) + 5 END AS n_frames,
+  CASE WHEN doc_id % 2 <> 0 THEN ((doc_id // 3) % 3) + 1 END AS n_tracks,
+  CASE WHEN doc_id % 2 <> 0
+    THEN ['isom', 'mp42', 'dash'][CAST((doc_id % 9) // 3 AS INT) + 1] END AS brand
+FROM documents WHERE doc_id % 3 = 0
 """
 
     # PT15: dedupe tokens first-occurrence order -> 15-bucket position
