@@ -921,7 +921,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             "media_id": int(i),
                             "kind": "image",
                             "mime": "image/png",
-                            "payload": mm.encode_png(img, filter_type=int(i % 5)),
+                            # cycle all 5 filters; every other row is
+                            # Adam7-interlaced (independent per-pass
+                            # filtering drives the r5 interlace path)
+                            "payload": mm.encode_png(
+                                img,
+                                filter_type=int(i % 5),
+                                interlace=bool((i // 5) % 2),
+                            ),
                             "width": w,
                             "height": h,
                             "duration_ms": None,
@@ -943,7 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def image_jpeg(spark, sf_dir):
         from orama_spark.datapipe import multimodal as mm
-        from orama_spark.datapipe.jpeg import encode_jpeg
+        from orama_spark.datapipe.jpeg import encode_jpeg, encode_jpeg_progressive
 
         docs = (
             spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -966,11 +973,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         dtype=_np.uint8,
                     )
                     img = _np.broadcast_to(col, (h, w, 3)).copy()
-                    # alternate 4:4:4 / 4:2:0 and sprinkle restart
-                    # markers so the gate drives every decoder path;
-                    # flat quant => solid color round-trips EXACTLY
-                    # (the oracle's closed form relies on it)
-                    payload = encode_jpeg(
+                    # alternate 4:4:4 / 4:2:0, sprinkle restart
+                    # markers, and alternate BASELINE / PROGRESSIVE
+                    # encodings (every 3rd row is SOF2 — multi-scan
+                    # spectral selection + successive approximation)
+                    # so the gate drives every decoder path; flat
+                    # quant => solid color round-trips EXACTLY in both
+                    # modes (the oracle's closed form relies on it)
+                    enc = (
+                        encode_jpeg_progressive if i % 3 == 0
+                        else encode_jpeg
+                    )
+                    payload = enc(
                         img,
                         subsample=bool(i % 2),
                         restart_interval=1 if i % 10 == 0 else 0,

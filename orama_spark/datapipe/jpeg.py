@@ -1,20 +1,28 @@
-"""Baseline JPEG (ITU-T T.81 sequential DCT, JFIF) codec in pure
-numpy + stdlib — closes the r4 "JPEG remains stubbed" gap
-(VERDICT Missing #2) without any codec library.
+"""JPEG (ITU-T T.81, JFIF) codec in pure numpy + stdlib — closes the
+r4 "JPEG remains stubbed" gap (VERDICT Missing #2) without any codec
+library.
 
-Decoder: marker parse (DQT/SOF0/DHT/DRI/SOS), Huffman entropy decode
+Decoder: marker parse (DQT/SOF/DHT/DRI/SOS), Huffman entropy decode
 with byte-stuffing and RSTn restart handling, dequantize, exact 8x8
 IDCT via the orthonormal DCT-II basis (one matmul pair per block),
 nearest-neighbour chroma upsampling (4:4:4 / 4:2:2 / 4:2:0), JFIF
-YCbCr->RGB. Grayscale (1-component) and color (3-component YCbCr)
-only; progressive (SOF2), arithmetic coding, 12-bit and hierarchical
-modes raise ValueError.
+YCbCr->RGB. Both BASELINE sequential (SOF0/SOF1) and PROGRESSIVE
+(SOF2 — spectral selection + successive approximation, multi-scan
+coefficient accumulation per T.81 Annex G, r5) decode. Grayscale
+(1-component) and color (3-component YCbCr) only; arithmetic coding,
+12-bit and hierarchical modes raise ValueError.
 
-Encoder: the matching test fixture — forward DCT + quantize, canonical
-fixed-length Huffman tables computed from the symbols actually used
-(valid per-image DHT; compression-suboptimal by design), optional
-2x2 chroma subsampling and restart intervals, so round-trips exercise
-every decoder path. With flat (all-ones) quantization tables a
+Encoders: the matching test fixtures — forward DCT + quantize,
+canonical fixed-length Huffman tables computed from the symbols
+actually used (valid per-image DHT; compression-suboptimal by
+design), optional 2x2 chroma subsampling and restart intervals, so
+round-trips exercise every decoder path. ``encode_jpeg`` emits
+baseline; ``encode_jpeg_progressive`` emits a libjpeg-style scan
+script (DC first/refine, spectral AC bands, two successive-
+approximation levels with real EOB-run and correction-bit emission)
+from the SAME quantized coefficients, so the two encodings of any
+image must decode bit-identically — the differential gate for the
+progressive paths. With flat (all-ones) quantization tables a
 solid-color image round-trips EXACTLY (DC of a constant block is the
 only nonzero coefficient and is integral), which is what the driver
 oracle's closed form relies on.
@@ -206,9 +214,11 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (H, W, 3) uint8 RGB (grayscale
-    broadcast). Raises ValueError on progressive/arithmetic/12-bit or
-    malformed input."""
+    """JFIF bytes -> (H, W, 3) uint8 RGB (grayscale broadcast).
+    Baseline sequential (SOF0/SOF1) AND progressive (SOF2: spectral
+    selection + successive approximation, T.81 Annex G) are decoded;
+    arithmetic coding, 12-bit and hierarchical modes raise
+    ValueError."""
     if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -217,10 +227,15 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     restart_interval = 0
     frame = None  # (H, W, [(cid, h, v, tq), ...])
+    progressive = False
+    coef = None  # progressive: per-comp (bh, bw, 64) int64, zigzag order
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"marker sync lost at {pos}")
         m = b[pos + 1]
+        if 0xD0 <= m <= 0xD7:  # stray RSTn between scans: skip
+            pos += 2
+            continue
         if m == 0xD9:  # EOI
             break
         seg_len = (b[pos + 2] << 8) | b[pos + 3]
@@ -239,7 +254,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 q = np.zeros(64, dtype=np.int64)
                 q[_ZZ] = tab.astype(np.int64)  # de-zigzag to raster
                 qt[tq] = q
-        elif m == 0xC0 or m == 0xC1:  # SOF0 / SOF1 (both Huffman seq.)
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 (seq.) / SOF2 (prog.)
             prec = seg[0]
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec}")
@@ -252,10 +267,21 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 hv = seg[7 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, seg[8 + 3 * c]))
             frame = (h, w, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if m == 0xC2:
+                progressive = True
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                coef = [
+                    np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int64)
+                    for _, ch, cv, _tq in comps
+                ]
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential (SOF0/SOF1) is supported"
+                "only sequential (SOF0/SOF1) and progressive (SOF2) "
+                "Huffman modes are supported"
             )
         elif m == 0xC4:  # DHT
             i = 0
@@ -272,12 +298,20 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         elif m == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
-            return _decode_scan(
-                b, pos + 2 + seg_len, seg, frame, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    b, pos + 2 + seg_len, seg, frame, qt, huff_dc,
+                    huff_ac, restart_interval,
+                )
+            pos = _decode_prog_scan(
+                b, pos + 2 + seg_len, seg, frame, coef, huff_dc,
+                huff_ac, restart_interval,
             )
+            continue
         # APPn / COM / others: skip
         pos += 2 + seg_len
+    if progressive and coef is not None:
+        return _reconstruct_progressive(frame, coef, qt)
     raise ValueError("no SOS marker")
 
 
@@ -341,6 +375,199 @@ def _decode_scan(b, scan_pos, sos, frame, qt, huff_dc, huff_ac, dri):
     full = []
     for ci, (cid, ch, cv, tq) in enumerate(comps):
         p = np.clip(np.floor(planes[ci] + 0.5), 0, 255)
+        if ch != hmax or cv != vmax:
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0),
+                          hmax // ch, axis=1)
+        full.append(p[:h_img, :w_img])
+    if len(full) == 1:
+        g = full[0].astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=2)
+    ycc = np.stack(full, axis=-1)
+    return _ycbcr_to_rgb(ycc)
+
+
+def _decode_prog_scan(b, scan_pos, sos, frame, coef, huff_dc, huff_ac,
+                      dri) -> int:
+    """One progressive scan (T.81 Annex G.2, Huffman): accumulate into
+    the per-component zigzag coefficient store and return the byte
+    position of the marker that terminated the scan's entropy data.
+
+    Implements all four scan kinds: DC first (diff << Al), DC
+    refinement (one appended bit per block), AC first (EOB runs, ZRL,
+    values << Al) and AC refinement (G.1.2.3: correction bits for
+    nonzero-history coefficients interleaved with zero-history runs).
+    """
+    h_img, w_img, comps = frame
+    ns = sos[0]
+    scomps = []
+    for i in range(ns):
+        cs = sos[1 + 2 * i]
+        td, ta = sos[2 + 2 * i] >> 4, sos[2 + 2 * i] & 0xF
+        ci = next((j for j, c in enumerate(comps) if c[0] == cs), None)
+        if ci is None:
+            raise ValueError(f"scan references unknown component {cs}")
+        scomps.append((ci, td, ta))
+    ss = sos[1 + 2 * ns]
+    se = sos[2 + 2 * ns]
+    ah = sos[3 + 2 * ns] >> 4
+    al = sos[3 + 2 * ns] & 0xF
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w_img // (8 * hmax))
+    mcuy = -(-h_img // (8 * vmax))
+    br = _BitReader(b, scan_pos)
+    p1 = 1 << al
+
+    def dc_first(blk, ci, preds, td):
+        t = _huff_decode(br, huff_dc[td])
+        preds[ci] += _extend(br.receive(t), t)
+        blk[0] = preds[ci] << al
+
+    def dc_refine(blk):
+        if br.read_bit():
+            blk[0] = int(blk[0]) | p1
+
+    state = {"eobrun": 0}
+
+    def ac_first(blk, ta):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(br, huff_ac[ta])
+            r, s2 = rs >> 4, rs & 0xF
+            if s2 == 0:
+                if r != 15:
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += br.receive(r)
+                    break
+                k += 16  # ZRL
+            else:
+                k += r
+                if k > se:
+                    raise ValueError("AC index overflow")
+                blk[k] = _extend(br.receive(s2), s2) << al
+                k += 1
+
+    def _refine_nonzero(blk, k):
+        """Correction bit for a coefficient with nonzero history."""
+        if br.read_bit():
+            v = int(blk[k])
+            if (v & p1) == 0:
+                blk[k] = v + (p1 if v >= 0 else -p1)
+
+    def ac_refine(blk, ta):
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _huff_decode(br, huff_ac[ta])
+                r, s2 = rs >> 4, rs & 0xF
+                if s2 == 0:
+                    if r != 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += br.receive(r)
+                        break
+                    val = 0  # ZRL: 16 zero-history coefficients
+                else:
+                    if s2 != 1:
+                        raise ValueError("bad AC refinement symbol")
+                    val = p1 if br.read_bit() else -p1
+                while k <= se:
+                    if blk[k] != 0:
+                        _refine_nonzero(blk, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s2 and k <= se:
+                    blk[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    _refine_nonzero(blk, k)
+                k += 1
+            state["eobrun"] -= 1
+
+    if ss == 0:  # DC scan (interleaved or single-component)
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        preds = {ci: 0 for ci, _, _ in scomps}
+        n = 0
+        if ns > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and n and n % dri == 0:
+                        br.restart()
+                        preds = {ci: 0 for ci, _, _ in scomps}
+                    for ci, td, _ta in scomps:
+                        _cid, ch, cv, _tq = comps[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                blk = coef[ci][my * cv + by, mx * ch + bx]
+                                if ah == 0:
+                                    dc_first(blk, ci, preds, td)
+                                else:
+                                    dc_refine(blk)
+                    n += 1
+            return br.pos
+        # fall through: ns == 1 uses the non-interleaved walk below
+
+    ci, td, ta = scomps[0]
+    _cid, ch, cv, _tq = comps[ci]
+    comp_w = -(-w_img * ch // hmax)
+    comp_h = -(-h_img * cv // vmax)
+    bw_t = -(-comp_w // 8)
+    bh_t = -(-comp_h // 8)
+    preds = {ci: 0}
+    n = 0
+    for by in range(bh_t):
+        for bx in range(bw_t):
+            if dri and n and n % dri == 0:
+                br.restart()
+                preds[ci] = 0
+                state["eobrun"] = 0
+            blk = coef[ci][by, bx]
+            if ss == 0:
+                if ah == 0:
+                    dc_first(blk, ci, preds, td)
+                else:
+                    dc_refine(blk)
+            elif ah == 0:
+                ac_first(blk, ta)
+            else:
+                ac_refine(blk, ta)
+            n += 1
+    return br.pos
+
+
+def _reconstruct_progressive(frame, coef, qt) -> np.ndarray:
+    """Dequantize + IDCT the accumulated progressive coefficients.
+    Same per-block expressions as the baseline path so a progressive
+    encode of identical quantized coefficients reconstructs the exact
+    same pixels."""
+    h_img, w_img, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    full = []
+    for ci, (_cid, ch, cv, tq) in enumerate(comps):
+        q = qt[tq]
+        arr = coef[ci]
+        bh, bw = arr.shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                coefs = np.zeros(64, dtype=np.float64)
+                coefs[_ZZ] = arr[by, bx]
+                block = (coefs * q).reshape(8, 8)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _A.T @ block @ _A + 128.0
+                )
+        p = np.clip(np.floor(plane + 0.5), 0, 255)
         if ch != hmax or cv != vmax:
             p = np.repeat(np.repeat(p, vmax // cv, axis=0),
                           hmax // ch, axis=1)
@@ -431,17 +658,11 @@ def _subsample2(plane: np.ndarray) -> np.ndarray:
     return np.clip(np.floor(s + 0.5), 0, 255)
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    quant_luma: np.ndarray = FLAT_QUANT,
-    quant_chroma: np.ndarray | None = None,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """(H, W, 3) uint8 RGB or (H, W) uint8 gray -> baseline JFIF
-    bytes. Defaults to FLAT (all-ones) quantization so solid-color
-    images round-trip exactly; pass STD_LUMA_QUANT/STD_CHROMA_QUANT
-    for realistic lossy tests. ``subsample=True`` emits 4:2:0."""
+def _prep_components(arr, quant_luma, quant_chroma, subsample):
+    """Shared encoder front end: color transform, optional 4:2:0
+    subsampling, per-component DCT+quantize into an MCU-padded block
+    grid. Returns (gray, planes, quants, samp, comp_blocks, h_img,
+    w_img, hmax, vmax, mcux, mcuy)."""
     gray = arr.ndim == 2
     if gray:
         planes = [arr.astype(np.float64)]
@@ -473,6 +694,48 @@ def encode_jpeg(
         grid = [[blocks[min(by, nby - 1) * nbx + min(bx, nbx - 1)]
                  for bx in range(need_x)] for by in range(need_y)]
         comp_blocks.append(grid)
+    return (gray, planes, quants, samp, comp_blocks, h_img, w_img,
+            hmax, vmax, mcux, mcuy)
+
+
+def _emit_headers(out, seg, gray, quants, samp, h_img, w_img,
+                  restart_interval, sof_marker):
+    """APP0 + DQT(s) + DRI + SOF shared by both encoders."""
+    seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    # DQT payloads are zigzag-ordered; quants[] are raster -> q[_ZZ]
+    n_q = 1 if gray or np.array_equal(np.asarray(quants[1]), np.asarray(quants[0])) else 2
+    for tq in range(n_q):
+        q = np.asarray(quants[tq], dtype=np.int64)
+        seg(0xDB, bytes([tq]) + bytes(int(x) for x in q[_ZZ]))
+    if restart_interval:
+        seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sof = bytearray([8])
+    sof.extend(h_img.to_bytes(2, "big"))
+    sof.extend(w_img.to_bytes(2, "big"))
+    sof.append(len(samp))
+    for ci in range(len(samp)):
+        ch, cv = samp[ci]
+        tq = 0 if ci == 0 or n_q == 1 else 1
+        sof.extend([ci + 1, (ch << 4) | cv, tq])
+    seg(sof_marker, bytes(sof))
+    return n_q
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quant_luma: np.ndarray = FLAT_QUANT,
+    quant_chroma: np.ndarray | None = None,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W, 3) uint8 RGB or (H, W) uint8 gray -> baseline JFIF
+    bytes. Defaults to FLAT (all-ones) quantization so solid-color
+    images round-trip exactly; pass STD_LUMA_QUANT/STD_CHROMA_QUANT
+    for realistic lossy tests. ``subsample=True`` emits 4:2:0."""
+    (gray, planes, quants, samp, comp_blocks, h_img, w_img,
+     hmax, vmax, mcux, mcuy) = _prep_components(
+        arr, quant_luma, quant_chroma, subsample
+    )
 
     # pass 1: symbol statistics per table role (luma=0 / chroma=1)
     dc_syms: list[set] = [set(), set()]
@@ -541,24 +804,8 @@ def encode_jpeg(
         out.extend((len(payload) + 2).to_bytes(2, "big"))
         out.extend(payload)
 
-    seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")  # APP0
-    # DQT payloads are zigzag-ordered; quants[] are raster -> q[_ZZ]
-    n_q = 1 if gray or np.array_equal(np.asarray(quants[1]), np.asarray(quants[0])) else 2
-    for tq in range(n_q):
-        q = np.asarray(quants[tq], dtype=np.int64)
-        seg(0xDB, bytes([tq]) + bytes(int(x) for x in q[_ZZ]))
-    if restart_interval:
-        seg(0xDD, restart_interval.to_bytes(2, "big"))
-    # SOF0
-    sof = bytearray([8])
-    sof.extend(h_img.to_bytes(2, "big"))
-    sof.extend(w_img.to_bytes(2, "big"))
-    sof.append(len(planes))
-    for ci in range(len(planes)):
-        ch, cv = samp[ci]
-        tq = 0 if ci == 0 or n_q == 1 else 1
-        sof.extend([ci + 1, (ch << 4) | cv, tq])
-    seg(0xC0, bytes(sof))
+    _emit_headers(out, seg, gray, quants, samp, h_img, w_img,
+                  restart_interval, 0xC0)
     # DHT
     for r in roles:
         for tc, (bits, vals, _enc) in ((0, dc_tabs[r]), (1, ac_tabs[r])):
@@ -610,4 +857,245 @@ def encode_jpeg(
     bw.flush()
     out.extend(bw.out)
     out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------ progressive encoder
+
+def _prog_scan_script(gray: bool) -> list:
+    """(components, Ss, Se, Ah, Al) per scan — a libjpeg-style simple
+    script exercising every progressive decode path: spectral bands,
+    Al>0 first scans, AC refinement at two bit levels, DC refinement."""
+    if gray:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2),
+        ([0], 6, 63, 0, 2),
+        ([1], 1, 63, 0, 1),
+        ([2], 1, 63, 0, 1),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([2], 1, 63, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quant_luma: np.ndarray = FLAT_QUANT,
+    quant_chroma: np.ndarray | None = None,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W, 3) uint8 RGB or (H, W) uint8 gray -> PROGRESSIVE JFIF
+    bytes (SOF2, T.81 Annex G: spectral selection + successive
+    approximation, Huffman). Quantizes identically to ``encode_jpeg``,
+    so decoding both encodings of the same image yields IDENTICAL
+    pixels — the round-trip test the decoder's progressive paths are
+    pinned against. EOB runs, ZRL and the G.1.2.3 correction-bit
+    buffering are all emitted (not just the degenerate one-block EOB),
+    so the decoder's run/refinement logic is actually driven."""
+    (gray, planes, quants, samp, comp_blocks, h_img, w_img,
+     hmax, vmax, mcux, mcuy) = _prep_components(
+        arr, quant_luma, quant_chroma, subsample
+    )
+    ncomp = len(planes)
+
+    def scan_units(comps_in_scan):
+        """Restart units: interleaved scans -> one unit per MCU;
+        single-component scans -> one unit per block (true comp dims,
+        not the MCU-padded grid)."""
+        units = []
+        if len(comps_in_scan) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    unit = []
+                    for ci in comps_in_scan:
+                        ch, cv = samp[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                unit.append(
+                                    (ci, comp_blocks[ci][my * cv + by][mx * ch + bx])
+                                )
+                    units.append(unit)
+        else:
+            ci = comps_in_scan[0]
+            ch, cv = samp[ci]
+            bw_t = -(-(-(-w_img * ch // hmax)) // 8)
+            bh_t = -(-(-(-h_img * cv // vmax)) // 8)
+            for by in range(bh_t):
+                for bx in range(bw_t):
+                    units.append([(ci, comp_blocks[ci][by][bx])])
+        return units
+
+    def run_scan(scan, sym, bit):
+        """Walk one scan emitting (symbol, bits) through callbacks —
+        the same deterministic walk serves the statistics pass and the
+        write pass. ``sym(kind, role, s)``; ``bit(value, nbits)``."""
+        comps_in_scan, ss, se, ah, al = scan
+        preds = {ci: 0 for ci in comps_in_scan}
+        st = {"eobrun": 0, "br": []}
+
+        def flush_eob(role):
+            if st["eobrun"] > 0:
+                nb = st["eobrun"].bit_length() - 1
+                sym("ac", role, nb << 4)
+                if nb:
+                    bit(st["eobrun"] - (1 << nb), nb)
+                st["eobrun"] = 0
+                for bv in st["br"]:
+                    bit(bv, 1)
+                st["br"] = []
+
+        def dc_first(ci, blk):
+            role = 0 if ci == 0 else 1
+            t = int(blk[0]) >> al  # arithmetic shift (G.1.2.1)
+            diff = t - preds[ci]
+            preds[ci] = t
+            cat = _mag_cat(diff)
+            sym("dc", role, cat)
+            if cat:
+                bit(_mag_bits(diff, cat), cat)
+
+        def dc_refine(blk):
+            bit((int(blk[0]) >> al) & 1, 1)
+
+        def ac_first(ci, blk):
+            role = 0 if ci == 0 else 1
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                t = abs(v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                flush_eob(role)
+                while r > 15:
+                    sym("ac", role, 0xF0)
+                    r -= 16
+                s = t.bit_length()
+                sym("ac", role, (r << 4) | s)
+                bit(_mag_bits(t if v > 0 else -t, s), s)
+                r = 0
+            if r > 0:
+                st["eobrun"] += 1
+                if st["eobrun"] == 0x7FFF:
+                    flush_eob(role)
+
+        def ac_refine(ci, blk):
+            role = 0 if ci == 0 else 1
+            absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            eobpos = -1  # band index of the LAST newly-nonzero coef
+            for j, t in enumerate(absv):
+                if t == 1:
+                    eobpos = j
+            r = 0
+            br: list = []
+            for j, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and j <= eobpos:
+                    flush_eob(role)
+                    sym("ac", role, 0xF0)
+                    r -= 16
+                    for bv in br:
+                        bit(bv, 1)
+                    br = []
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                flush_eob(role)
+                sym("ac", role, (r << 4) | 1)
+                bit(1 if int(blk[ss + j]) > 0 else 0, 1)
+                for bv in br:
+                    bit(bv, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                st["eobrun"] += 1
+                st["br"].extend(br)
+                if st["eobrun"] == 0x7FFF or len(st["br"]) > 900:
+                    flush_eob(role)
+
+        units = scan_units(comps_in_scan)
+        role0 = 0 if comps_in_scan[0] == 0 else 1
+        for n, unit in enumerate(units):
+            if restart_interval and n and n % restart_interval == 0:
+                flush_eob(role0)
+                preds = {ci: 0 for ci in comps_in_scan}
+                sym("rst", None, n // restart_interval - 1)
+            for ci, blk in unit:
+                if ss == 0 and ah == 0:
+                    dc_first(ci, blk)
+                elif ss == 0:
+                    dc_refine(blk)
+                elif ah == 0:
+                    ac_first(ci, blk)
+                else:
+                    ac_refine(ci, blk)
+        flush_eob(role0)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(payload) + 2).to_bytes(2, "big"))
+        out.extend(payload)
+
+    _emit_headers(out, seg, gray, quants, samp, h_img, w_img,
+                  restart_interval, 0xC2)
+
+    for scan in _prog_scan_script(gray):
+        comps_in_scan, ss, se, ah, al = scan
+        # pass 1: symbols actually used -> per-role fixed-length tables
+        syms: dict = {("dc", 0): set(), ("dc", 1): set(),
+                      ("ac", 0): set(), ("ac", 1): set()}
+
+        def stats_sym(kind, role, s):
+            if kind != "rst":
+                syms[(kind, role)].add(s)
+
+        run_scan(scan, stats_sym, lambda v, n: None)
+        tabs = {}
+        for (kind, role), ss_set in syms.items():
+            if ss_set:
+                bits16, vals, enc = _fixed_len_table(ss_set)
+                tabs[(kind, role)] = enc
+                tc = 0 if kind == "dc" else 1
+                seg(0xC4, bytes([(tc << 4) | role]) + bytes(bits16) + bytes(vals))
+        # SOS
+        sos = bytearray([len(comps_in_scan)])
+        for ci in comps_in_scan:
+            role = 0 if ci == 0 else 1
+            sos.extend([ci + 1, (role << 4) | role])
+        sos.extend([ss, se, (ah << 4) | al])
+        seg(0xDA, bytes(sos))
+        # pass 2: entropy-coded data
+        bw = _BitWriter()
+
+        def write_sym(kind, role, s):
+            if kind == "rst":
+                bw.flush()
+                out.extend(bw.out)
+                bw.out = bytearray()
+                out.extend(bytes([0xFF, 0xD0 + (s % 8)]))
+                return
+            ln, code = tabs[(kind, role)][s]
+            bw.write(code, ln)
+
+        run_scan(scan, write_sym, bw.write)
+        bw.flush()
+        out.extend(bw.out)
+
+    out.extend(b"\xff\xd9")
     return bytes(out)

@@ -107,55 +107,19 @@ def decode_bmp(b: bytes) -> np.ndarray:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def decode_png(b: bytes) -> np.ndarray:
-    """Non-interlaced 8-bit PNG (gray / gray+alpha / RGB / RGBA) ->
-    (H, W, 3) uint8. Pure stdlib zlib + numpy — PNG is just deflate
-    (IDAT) plus five per-row prediction filters, no codec library
-    needed. Alpha is dropped; grayscale broadcasts to 3 channels.
-    Raises ValueError on anything else (palette, 16-bit, interlaced,
-    malformed)."""
-    import zlib
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    if not b.startswith(_PNG_SIG):
-        raise ValueError("not a PNG")
-    pos = len(_PNG_SIG)
-    ihdr = None
-    idat = bytearray()
-    while pos + 8 <= len(b):
-        (ln,) = np.frombuffer(b[pos : pos + 4], dtype=">u4")
-        typ = b[pos + 4 : pos + 8]
-        data = b[pos + 8 : pos + 8 + int(ln)]
-        if len(data) < int(ln):
-            raise ValueError("truncated PNG chunk")
-        if typ == b"IHDR":
-            ihdr = data
-        elif typ == b"IDAT":
-            idat.extend(data)
-        elif typ == b"IEND":
-            break
-        pos += 12 + int(ln)  # len + type + data + crc (crc not verified)
-    if ihdr is None or len(ihdr) < 13 or not idat:
-        raise ValueError("missing IHDR/IDAT")
-    w, h = (int(x) for x in np.frombuffer(ihdr[:8], dtype=">u4"))
-    depth, color, comp, filt, interlace = ihdr[8:13]
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
-    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
-        raise ValueError(
-            f"unsupported PNG (depth={depth}, color={color}, "
-            f"interlace={interlace}) — only non-interlaced 8-bit"
-        )
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as e:
-        raise ValueError(f"bad IDAT stream: {e}") from None
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError("IDAT size mismatch")
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the five per-row PNG prediction filters over one
+    filtered sub-image (``h`` rows of ``1 + stride`` bytes)."""
     ftypes = raw[:, 0]
     rows = raw[:, 1:].astype(np.int64)
     out = np.zeros((h, stride), dtype=np.int64)
-    bpp = channels
     prev = np.zeros(stride, dtype=np.int64)
     for y in range(h):
         f = int(ftypes[y])
@@ -190,7 +154,89 @@ def decode_png(b: bytes) -> np.ndarray:
         rec = rec & 0xFF
         out[y] = rec
         prev = rec
-    px = out.astype(np.uint8).reshape(h, w, channels)
+    return out.astype(np.uint8)
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """8-bit PNG (gray / gray+alpha / RGB / RGBA / palette), both
+    non-interlaced and Adam7-interlaced -> (H, W, 3) uint8. Pure
+    stdlib zlib + numpy — PNG is just deflate (IDAT) plus five per-row
+    prediction filters (applied per interlace pass), no codec library
+    needed. Alpha is dropped; grayscale broadcasts to 3 channels.
+    Raises ValueError on 16-bit / sub-byte depths or malformed
+    input."""
+    import zlib
+
+    if not b.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (ln,) = np.frombuffer(b[pos : pos + 4], dtype=">u4")
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + int(ln)]
+        if len(data) < int(ln):
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + int(ln)  # len + type + data + crc (crc not verified)
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h = (int(x) for x in np.frombuffer(ihdr[:8], dtype=">u4"))
+    depth, color, comp, filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 \
+            or interlace not in (0, 1):
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, "
+            f"interlace={interlace}) — only 8-bit, interlace 0/1"
+        )
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad IDAT stream: {e}") from None
+    bpp = channels
+    if interlace == 0:
+        stride = w * channels
+        if len(raw) != h * (stride + 1):
+            raise ValueError("IDAT size mismatch")
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+        px = _png_unfilter(arr, h, stride, bpp).reshape(h, w, channels)
+    else:  # Adam7: each pass is an independently-filtered sub-image
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            stride = pw * channels
+            need = ph * (stride + 1)
+            if off + need > len(raw):
+                raise ValueError("IDAT size mismatch (interlaced)")
+            sub = np.frombuffer(
+                raw[off : off + need], dtype=np.uint8
+            ).reshape(ph, stride + 1)
+            off += need
+            rec = _png_unfilter(sub, ph, stride, bpp).reshape(ph, pw, channels)
+            px[y0::dy, x0::dx] = rec
+        if off != len(raw):
+            raise ValueError("IDAT size mismatch (interlaced tail)")
+    if color == 3:
+        idx = px[..., 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[idx]
     if channels == 1:
         return np.repeat(px, 3, axis=2)
     if channels == 2:  # gray + alpha
@@ -198,20 +244,13 @@ def decode_png(b: bytes) -> np.ndarray:
     return px[..., :3].copy()  # RGB / RGBA (alpha dropped)
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
-    """(H, W, 3) or (H, W, 4) uint8 -> non-interlaced 8-bit PNG bytes
-    with every row carrying ``filter_type`` (0..4) — test/synthesis
-    helper; filters are applied by their spec definition, so a
-    round-trip exercises decode_png's inverse of each filter path."""
-    import zlib
-
-    h, w = arr.shape[:2]
-    channels = arr.shape[2] if arr.ndim == 3 else 1
-    a = arr.reshape(h, w * channels).astype(np.int64)
-    bpp = channels
+def _png_filter_rows(a: np.ndarray, bpp: int, filter_type: int) -> bytes:
+    """Apply one PNG filter to every row of a (rows, stride) int64
+    sub-image; returns the filtered byte stream (1 + stride per row)."""
     lines = []
-    prev = np.zeros(w * channels, dtype=np.int64)
-    for y in range(h):
+    stride = a.shape[1]
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(a.shape[0]):
         cur = a[y]
         left = np.concatenate((np.zeros(bpp, dtype=np.int64), cur[:-bpp]))
         upleft = np.concatenate((np.zeros(bpp, dtype=np.int64), prev[:-bpp]))
@@ -234,23 +273,86 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
             raise ValueError(f"bad filter type {filter_type}")
         lines.append(bytes([filter_type]) + (filt & 0xFF).astype(np.uint8).tobytes())
         prev = cur
+    return b"".join(lines)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+    return (
+        np.array([len(data)], dtype=">u4").tobytes() + typ + data
+        + np.array([crc], dtype=">u4").tobytes()
+    )
+
+
+def encode_png(
+    arr: np.ndarray, filter_type: int = 0, interlace: bool = False
+) -> bytes:
+    """(H, W, C) or (H, W) uint8 -> 8-bit PNG bytes with every row
+    carrying ``filter_type`` (0..4); ``interlace=True`` emits Adam7
+    (each pass an independently-filtered sub-image). Test/synthesis
+    helper; filters are applied by their spec definition, so a
+    round-trip exercises decode_png's inverse of each filter and pass
+    path."""
+    import zlib
+
+    h, w = arr.shape[:2]
+    channels = arr.shape[2] if arr.ndim == 3 else 1
+    px = arr.reshape(h, w, channels).astype(np.int64)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            a = sub.reshape(sub.shape[0], sub.shape[1] * channels)
+            parts.append(_png_filter_rows(a, channels, filter_type))
+        body = b"".join(parts)
+    else:
+        body = _png_filter_rows(
+            px.reshape(h, w * channels), channels, filter_type
+        )
     color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     ihdr = (
         np.array([w, h], dtype=">u4").tobytes()
-        + bytes([8, color, 0, 0, 0])
+        + bytes([8, color, 0, 0, int(interlace)])
     )
-    idat = zlib.compress(b"".join(lines))
-
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        crc = zlib.crc32(typ + data) & 0xFFFFFFFF
-        return (
-            np.array([len(data)], dtype=">u4").tobytes() + typ + data
-            + np.array([crc], dtype=">u4").tobytes()
-        )
-
     return (
-        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
-        + chunk(b"IEND", b"")
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(body))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    idx: np.ndarray, palette: np.ndarray, interlace: bool = False
+) -> bytes:
+    """(H, W) uint8 palette indices + (N, 3) palette -> color-type-3
+    PNG (test/synthesis helper for decode_png's palette path)."""
+    import zlib
+
+    h, w = idx.shape
+    a = idx.astype(np.int64)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.append(_png_filter_rows(sub, 1, 0))
+        body = b"".join(parts)
+    else:
+        body = _png_filter_rows(a, 1, 0)
+    ihdr = (
+        np.array([w, h], dtype=">u4").tobytes()
+        + bytes([8, 3, 0, 0, int(interlace)])
+    )
+    return (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(body))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -262,8 +364,9 @@ def encode_ppm(arr: np.ndarray) -> bytes:
 
 def decode_image(payload: bytes) -> np.ndarray | None:
     """Sniff + decode the natively-supported formats (P6 PPM, 24-bit
-    BMP, non-interlaced 8-bit PNG, baseline JPEG); None for anything
-    else (progressive JPEG, palette PNG, ...)."""
+    BMP, 8-bit PNG incl. palette and Adam7 interlace, baseline +
+    progressive JPEG); None for anything else (16-bit PNG,
+    arithmetic-coded JPEG, ...)."""
     if payload.startswith(b"\xff\xd8"):
         from orama_spark.datapipe.jpeg import decode_jpeg
 
@@ -314,8 +417,9 @@ def _image_profile(arr: np.ndarray) -> np.ndarray:
 def _decode_image_stub(payload: bytes, strict: bool) -> np.ndarray:
     """Decode kernel: REAL pure-numpy decode for P6 PPM, 24-bit BMP,
     non-interlaced 8-bit PNG (stdlib zlib inflate + the five per-row
-    filters) and baseline JPEG (Huffman + IDCT, orama_spark.datapipe.
-    jpeg); progressive JPEG / palette PNG / exotic formats remain out.
+    filters) and JPEG — baseline AND progressive SOF2 (Huffman + IDCT,
+    orama_spark.datapipe.jpeg); arithmetic-coded JPEG / 16-bit PNG /
+    exotic formats remain out.
 
     strict=True  -> NotImplementedError for undecodable payloads
     strict=False -> deterministic fake profile for undecodable payloads
@@ -325,10 +429,10 @@ def _decode_image_stub(payload: bytes, strict: bool) -> np.ndarray:
         return _image_profile(arr)
     if strict:
         raise NotImplementedError(
-            "undecodable image payload: progressive/arithmetic JPEG, "
-            "palette/16-bit PNG etc. require a codec library (e.g. "
-            "PIL); PPM/BMP/PNG/baseline-JPEG decode natively — see "
-            "decode_image"
+            "undecodable image payload: arithmetic-coded/12-bit JPEG, "
+            "16-bit PNG etc. require a codec library (e.g. PIL); "
+            "PPM/BMP/PNG/baseline+progressive-JPEG decode natively — "
+            "see decode_image"
         )
     h = hashlib.sha256(payload or b"").digest()
     return (np.frombuffer(h[:32], dtype=np.uint8)[:8].astype(np.float32) / 255.0)

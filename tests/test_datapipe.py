@@ -711,13 +711,18 @@ class TestRealJpegDecode:
         without = J.decode_jpeg(J.encode_jpeg(img))
         assert (with_rst == without).all()
 
-    def test_progressive_and_malformed_rejected(self):
+    def test_arithmetic_and_malformed_rejected(self):
         from orama_spark.datapipe import jpeg as J
 
         img = np.full((8, 8, 3), 100, np.uint8)
         enc = bytearray(J.encode_jpeg(img))
         sof = enc.find(b"\xff\xc0")
-        enc[sof + 1] = 0xC2  # rebrand SOF0 as progressive
+        enc[sof + 1] = 0xC9  # rebrand as arithmetic-coded sequential
+        with pytest.raises(ValueError):
+            J.decode_jpeg(bytes(enc))
+        # a baseline scan mislabeled SOF2 is structurally invalid
+        # progressive (full-band DC scan) — rejected, not misdecoded
+        enc[sof + 1] = 0xC2
         with pytest.raises(ValueError):
             J.decode_jpeg(bytes(enc))
         with pytest.raises(ValueError):
@@ -739,6 +744,77 @@ class TestRealJpegDecode:
         assert f[0] == 6.0 and f[1] == 9.0
         assert abs(f[2] - exp[0] / 255) < 1e-6
         assert abs(f[3] - exp[1] / 255) < 1e-6
+
+
+class TestProgressiveJpeg:
+    """SOF2 progressive decode (T.81 Annex G: spectral selection +
+    successive approximation). The progressive encoder quantizes
+    identically to the baseline one, so both encodings of any image
+    must decode to IDENTICAL pixels — a bit-exact differential gate
+    over every scan kind (DC first/refine, AC first with EOB runs and
+    ZRL, AC refinement at two bit levels)."""
+
+    def test_matches_baseline_bit_exact(self):
+        from orama_spark.datapipe import jpeg as J
+
+        rng = np.random.default_rng(11)
+        for h, w in [(8, 8), (9, 13), (21, 34), (40, 56)]:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for sub in (False, True):
+                for ql, qc in ((J.FLAT_QUANT, None),
+                               (J.STD_LUMA_QUANT, J.STD_CHROMA_QUANT)):
+                    base = J.decode_jpeg(J.encode_jpeg(
+                        img, ql, qc, subsample=sub))
+                    prog = J.decode_jpeg(J.encode_jpeg_progressive(
+                        img, ql, qc, subsample=sub))
+                    assert (base == prog).all(), (h, w, sub)
+
+    def test_grayscale_and_solid_exact(self):
+        from orama_spark.datapipe import jpeg as J
+
+        rng = np.random.default_rng(9)
+        g = rng.integers(0, 256, (19, 23), dtype=np.uint8)
+        assert (J.decode_jpeg(J.encode_jpeg_progressive(g))
+                == J.decode_jpeg(J.encode_jpeg(g))).all()
+        solid = np.full((10, 14, 3), [17, 200, 99], dtype=np.uint8)
+        exp = J._ycbcr_to_rgb(J._rgb_to_ycbcr(solid).astype(np.float64))
+        assert (J.decode_jpeg(J.encode_jpeg_progressive(solid)) == exp).all()
+
+    def test_restart_intervals(self):
+        from orama_spark.datapipe import jpeg as J
+
+        rng = np.random.default_rng(23)
+        img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+        for ri in (1, 2, 5):
+            for sub in (False, True):
+                base = J.decode_jpeg(J.encode_jpeg(
+                    img, J.STD_LUMA_QUANT, J.STD_CHROMA_QUANT,
+                    subsample=sub, restart_interval=ri))
+                prog = J.decode_jpeg(J.encode_jpeg_progressive(
+                    img, J.STD_LUMA_QUANT, J.STD_CHROMA_QUANT,
+                    subsample=sub, restart_interval=ri))
+                assert (base == prog).all(), (ri, sub)
+
+    def test_sparse_image_eob_runs(self):
+        from orama_spark.datapipe import jpeg as J
+
+        # mostly-flat image => long EOB runs + ZRL symbols in the AC
+        # scans; pins the run-length paths on both sides
+        sparse = np.full((32, 32, 3), 128, dtype=np.uint8)
+        sparse[5, 7] = [255, 0, 0]
+        sparse[20, 28] = [0, 255, 0]
+        base = J.decode_jpeg(J.encode_jpeg(
+            sparse, J.STD_LUMA_QUANT, J.STD_CHROMA_QUANT))
+        prog = J.decode_jpeg(J.encode_jpeg_progressive(
+            sparse, J.STD_LUMA_QUANT, J.STD_CHROMA_QUANT))
+        assert (base == prog).all()
+
+    def test_dispatcher_accepts_progressive(self):
+        from orama_spark.datapipe import jpeg as J
+
+        img = np.full((6, 9, 3), [10, 200, 30], dtype=np.uint8)
+        arr = multimodal.decode_image(J.encode_jpeg_progressive(img))
+        assert arr is not None and arr.shape == (6, 9, 3)
 
 
 class TestRealAudioDecode:
@@ -815,6 +891,34 @@ class TestRealPngDecode:
     def test_malformed_yields_none_not_crash(self):
         assert multimodal.decode_image(b"\x89PNG\r\n\x1a\ngarbage") is None
         assert multimodal.decode_image(b"\x89PNG\r\n\x1a\n") is None
+
+    @pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+    def test_adam7_interlace_roundtrip(self, ft):
+        # each Adam7 pass is an independently-filtered sub-image; odd
+        # dims make the late passes ragged
+        rng = np.random.default_rng(100 + ft)
+        for h, w in [(1, 1), (3, 9), (13, 21), (16, 16)]:
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            out = multimodal.decode_png(
+                multimodal.encode_png(img, filter_type=ft, interlace=True)
+            )
+            assert (out == img).all(), (ft, h, w)
+
+    def test_palette_roundtrip_and_bounds(self):
+        rng = np.random.default_rng(3)
+        pal = rng.integers(0, 256, (17, 3), dtype=np.uint8)
+        idx = rng.integers(0, 17, (9, 14), dtype=np.uint8)
+        for il in (False, True):
+            dec = multimodal.decode_png(
+                multimodal.encode_png_palette(idx, pal, interlace=il)
+            )
+            assert (dec == pal[idx]).all(), il
+        with pytest.raises(ValueError):
+            multimodal.decode_png(
+                multimodal.encode_png_palette(
+                    np.full((2, 2), 30, np.uint8), pal
+                )
+            )
 
     def test_strict_mode_accepts_png(self, spark):
         img = np.full((4, 6, 3), 200, dtype=np.uint8)
