@@ -1064,6 +1064,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ct.container_metadata(media, strict=True)
     q["media_container_meta"] = media_container
 
+    # Structured Streaming gated end-to-end (SURVEY §2.12): the events
+    # table is replayed through readStream -> watermark -> tumbling
+    # 1-day event-time window -> count/sum aggregation, drained with
+    # trigger(availableNow) into a memory sink, and the materialized
+    # result is hash-compared to a plain GROUP BY oracle. Window
+    # boundaries are emitted as epoch seconds (timestamp->long cast is
+    # timezone-independent in both engines); the value sum is floored
+    # to integer cents so float accumulation order can't flake the
+    # hash. Complete output mode so no window is withheld by the final
+    # watermark.
+    def stream_events_windowed(spark, sf_dir):
+        import shutil
+        import uuid as _uuid
+
+        src = os.path.join(sf_dir, "events.parquet")
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        sdir = f"/dev/shm/orama_spark_entry_stream/{tag}"
+        marker = os.path.join(sdir, "_COPIED")
+        if not os.path.exists(marker):
+            shutil.rmtree(sdir, ignore_errors=True)
+            os.makedirs(sdir, exist_ok=True)
+            shutil.copy(src, os.path.join(sdir, "part-00000.parquet"))
+            with open(marker, "w") as f:
+                f.write("ok")
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(os.path.join(sdir, "*.parquet"))
+            # parquet yields TIMESTAMP_NTZ; event-time watermarks need
+            # TIMESTAMP. The container/harness runs UTC, so the cast
+            # (and the later epoch-seconds cast) is wall-clock exact.
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                    "sum_cents"
+                ),
+            )
+            .select(
+                F.col("w.start").cast("long").alias("win_start"),
+                "event_type",
+                "n_events",
+                "sum_cents",
+            )
+        )
+        qname = "stream_events_" + _uuid.uuid4().hex[:12]
+        sq = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        return spark.table(qname)
+    q["stream_events_windowed"] = stream_events_windowed
+
     # alternative scorers (SURVEY §2.10)
     def pt15_topk(spark, sf_dir):
         idx = _get_alt_index(spark, sf_dir, "pt15")
@@ -1646,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r5
         "image_jpeg_features", "sort_title_de", "text_bpe_exact",
         "persist_roundtrip", "media_container_meta",
+        "stream_events_windowed",
     ]
     ordered = {k: q[k] for k in front if k in q}
     ordered.update(q)
@@ -1940,6 +2002,19 @@ SELECT doc_id AS media_id,
   CASE WHEN doc_id % 2 <> 0
     THEN ['isom', 'mp42', 'dash'][CAST((doc_id % 9) // 3 AS INT) + 1] END AS brand
 FROM documents WHERE doc_id % 3 = 0
+"""
+
+    # Streaming windowed aggregation == plain GROUP BY over the drained
+    # stream: 1-day tumbling windows are epoch-aligned in Spark and
+    # date_trunc('day') in DuckDB; epoch() of a naive timestamp is the
+    # same integer both sides.
+    sql["stream_events_windowed"] = """
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS win_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY 1, 2
 """
 
     # PT15: dedupe tokens first-occurrence order -> 15-bucket position
