@@ -589,6 +589,75 @@ def _get_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     return idx
 
 
+_STREAMED_CACHE: dict[str, SearchIndex] = {}
+
+
+def _get_streamed_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    """The entry index built through the STREAMING ingestion path
+    (SURVEY §2.12, streaming.incremental): the documents table is split
+    into three deterministic micro-batch files, replayed as a file
+    stream with maxFilesPerTrigger=1, and folded by foreachBatch —
+    batch 0 bootstraps a full build, batches 1-2 go through the
+    incremental insert_documents tombstone/delta path. Queries over the
+    result must equal the batch-built index's answers (the reference's
+    insertMultiple semantics), which is exactly what the driver oracle
+    asserts."""
+    idx = _STREAMED_CACHE.get(sf_dir)
+    if idx is not None:
+        return idx
+    import shutil
+
+    from orama_spark.streaming.incremental import StreamingIndexWriter
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join("/dev/shm/orama_spark_entry_streamidx", base)
+    out = os.path.join(root, "index")
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        src_dir = os.path.join(root, "source")
+        os.makedirs(src_dir)
+        df = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .withColumn(
+                "loc",
+                F.struct(
+                    F.expr(_GEO_LAT).alias("lat"), F.expr(_GEO_LON).alias("lon")
+                ),
+            )
+            .withColumnRenamed("doc_id", "docid")
+        )
+        # three micro-batch files, written oldest-first so the file
+        # source replays them in docid-bucket order
+        for b in range(3):
+            tmp = os.path.join(root, f"_tmp{b}")
+            df.where(F.col("docid") % 3 == b).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = next(
+                p for p in os.listdir(tmp) if p.endswith(".parquet")
+            )
+            shutil.move(
+                os.path.join(tmp, part),
+                os.path.join(src_dir, f"batch-{b}.parquet"),
+            )
+            shutil.rmtree(tmp)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = StreamingIndexWriter(DOC_CONFIG, out).start(
+            stream, os.path.join(root, "checkpoint")
+        )
+        q.awaitTermination()
+        with open(done, "w") as f:
+            f.write("ok")
+    idx = SearchIndex.load(spark, out, DOC_CONFIG)
+    _STREAMED_CACHE[sf_dir] = idx
+    return idx
+
+
 _RESTORED_CACHE: dict[str, SearchIndex] = {}
 
 
@@ -1124,6 +1193,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sq.awaitTermination()
         return spark.table(qname)
     q["stream_events_windowed"] = stream_events_windowed
+
+    # the stream-built index must answer exactly like the batch-built
+    # one (reference insertMultiple semantics through the streaming
+    # ingestion path — bootstrap + 2 incremental folds)
+    def flt_stream_built(spark, sf_dir):
+        idx = _get_streamed_index(spark, sf_dir)
+        sr = idx.search(term="merge", limit=10)
+        return sr.top_df().select("docid", _r())
+    q["flt_stream_built"] = flt_stream_built
 
     # alternative scorers (SURVEY §2.10)
     def pt15_topk(spark, sf_dir):
@@ -1707,7 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r5
         "image_jpeg_features", "sort_title_de", "text_bpe_exact",
         "persist_roundtrip", "media_container_meta",
-        "stream_events_windowed",
+        "stream_events_windowed", "flt_stream_built",
     ]
     ordered = {k: q[k] for k in front if k in q}
     ordered.update(q)
@@ -2008,6 +2086,9 @@ FROM documents WHERE doc_id % 3 = 0
     # stream: 1-day tumbling windows are epoch-aligned in Spark and
     # date_trunc('day') in DuckDB; epoch() of a naive timestamp is the
     # same integer both sides.
+    # the streamed build must reproduce the batch build's BM25 exactly
+    sql["flt_stream_built"] = _sql_topk("merge", cond=PREFIX_COND)
+
     sql["stream_events_windowed"] = """
 SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS win_start,
        event_type,

@@ -192,6 +192,7 @@ def main() -> None:
         "aux_build_removed": lambda: entry_mod._get_removed_index(spark, SF_DIR),
         "aux_build_tr": lambda: entry_mod._get_tr_index(spark, SF_DIR),
         "aux_build_tagsrm": lambda: entry_mod._get_tags_removed_index(spark, SF_DIR),
+        "aux_build_stream": lambda: entry_mod._get_streamed_index(spark, SF_DIR),
     }.items():
         t0 = time.time()
         fn()
