@@ -236,8 +236,17 @@ def build_blocks(
     n_docs = float(stats["docs_count"])
     avgs = {f_: float(v["avg_field_length"]) for f_, v in stats["fields"].items()}
     docmap = assign_internal_ids(postings)
+    # docmap is two longs per DOC (not per posting). Under ~4M docs
+    # (≤ ~64 MB) broadcasting it turns the postings-side sort-merge
+    # join — a full postings shuffle, ~20 s of the 104 s build at the
+    # 2M-doc/76.5M-posting scale point — into a map-side hash join.
+    # Past the threshold the SMJ IS the right plan: a 10^9-doc docmap
+    # cannot live on the driver, and the shuffle amortizes across the
+    # cluster. docs_count is exact (build-time stats), so the switch is
+    # deterministic, not a sampled estimate.
+    dm = F.broadcast(docmap) if n_docs <= 4_000_000 else docmap
     p = (
-        postings.join(docmap, "docid")
+        postings.join(dm, "docid")
         .join(F.broadcast(dictionary), ["field", "term"])
         .select(
             "field", "term", "docid", "internal", "field_len", "df",
@@ -253,10 +262,31 @@ def build_blocks(
     )
 
     params = bm25
+    import pyarrow as pa
 
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: pd.DataFrame | None = None
+    # Arrow mirror of BLOCKS_SCHEMA (same names, order, types) for the
+    # mapInArrow output batches.
+    pa_blocks = pa.schema([
+        ("field", pa.string()), ("term", pa.string()),
+        ("block_id", pa.int32()), ("n", pa.int32()),
+        ("first_docid", pa.int64()), ("last_docid", pa.int64()),
+        ("docid_deltas", pa.binary()), ("orig_docids", pa.binary()),
+        ("field_lens", pa.binary()), ("tfns", pa.binary()),
+        ("max_score", pa.float64()), ("min_score", pa.float64()),
+        ("df", pa.int64()), ("champ_rk", pa.int32()),
+    ])
+
+    def encode(batches) -> Iterator["pa.RecordBatch"]:
+        # mapInArrow, not mapInPandas: the 76.5M-row Arrow->pandas
+        # conversion materialized two PYTHON STRING columns per posting
+        # (~20 s of the 2M-doc build); Arrow string arrays stay in C++
+        # and only ONE field/term scalar per (field, term) run is ever
+        # converted. Numeric columns come out as zero-copy numpy views.
+        import pyarrow.compute as pc
+
+        carry: dict | None = None
         out_rows: list[dict] = []
+        num_cols = ("internal", "docid", "field_len", "df", "tfn")
 
         def flush_group(field: str, term: str, df_val: float,
                         internals: np.ndarray, origs: np.ndarray,
@@ -335,46 +365,66 @@ def build_blocks(
                     }
                 )
 
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            # group by (field, term) preserving sorted order
-            keys = pdf["field"].astype(str) + "\x00" + pdf["term"].astype(str)
-            boundaries = np.nonzero(keys.values[1:] != keys.values[:-1])[0] + 1
+            cols = {nm: rb.column(i) for i, nm in enumerate(rb.schema.names)}
+            f_a, t_a = cols["field"], cols["term"]
+            num = {
+                k: cols[k].to_numpy(zero_copy_only=False) for k in num_cols
+            }
+            if carry is not None:
+                f_a = pa.concat_arrays([carry["f"], f_a])
+                t_a = pa.concat_arrays([carry["t"], t_a])
+                num = {k: np.concatenate([carry[k], num[k]]) for k in num_cols}
+                carry = None
+            n = len(f_a)
+            # group by (field, term) preserving sorted order — boundary
+            # mask computed on the Arrow string arrays (C++ kernels)
+            neq = pc.or_(
+                pc.not_equal(f_a.slice(1), f_a.slice(0, n - 1)),
+                pc.not_equal(t_a.slice(1), t_a.slice(0, n - 1)),
+            ).to_numpy(zero_copy_only=False)
+            boundaries = np.nonzero(neq)[0] + 1
             starts = np.concatenate(([0], boundaries))
-            ends = np.concatenate((boundaries, [len(pdf)]))
+            ends = np.concatenate((boundaries, [n]))
             # hold back the last group: it may continue in the next batch
             for s, e in zip(starts[:-1], ends[:-1]):
                 flush_group(
-                    pdf["field"].iat[s],
-                    pdf["term"].iat[s],
-                    float(pdf["df"].iat[s]),
-                    pdf["internal"].values[s:e].astype(np.int64),
-                    pdf["docid"].values[s:e].astype(np.int64),
-                    pdf["field_len"].values[s:e].astype(np.int64),
-                    pdf["tfn"].values[s:e].astype(np.int64),
+                    f_a[int(s)].as_py(),
+                    t_a[int(s)].as_py(),
+                    float(num["df"][s]),
+                    num["internal"][s:e].astype(np.int64),
+                    num["docid"][s:e].astype(np.int64),
+                    num["field_len"][s:e].astype(np.int64),
+                    num["tfn"][s:e].astype(np.int64),
                 )
-            carry = pdf.iloc[starts[-1]:].copy()
+            s0 = int(starts[-1])
+            carry = {
+                "f": f_a.slice(s0), "t": t_a.slice(s0),
+                **{k: num[k][s0:].copy() for k in num_cols},
+            }
             if out_rows:
-                yield pd.DataFrame(out_rows)
+                tbl = pa.Table.from_pylist(out_rows, schema=pa_blocks)
                 out_rows = []
-        if carry is not None and len(carry):
+                for ob in tbl.to_batches():
+                    yield ob
+        if carry is not None and len(carry["f"]):
             flush_group(
-                carry["field"].iat[0],
-                carry["term"].iat[0],
-                float(carry["df"].iat[0]),
-                carry["internal"].values.astype(np.int64),
-                carry["docid"].values.astype(np.int64),
-                carry["field_len"].values.astype(np.int64),
-                carry["tfn"].values.astype(np.int64),
+                carry["f"][0].as_py(),
+                carry["t"][0].as_py(),
+                float(carry["df"][0]),
+                carry["internal"].astype(np.int64),
+                carry["docid"].astype(np.int64),
+                carry["field_len"].astype(np.int64),
+                carry["tfn"].astype(np.int64),
             )
         if out_rows:
-            yield pd.DataFrame(out_rows)
+            tbl = pa.Table.from_pylist(out_rows, schema=pa_blocks)
+            for ob in tbl.to_batches():
+                yield ob
 
-    return p.mapInPandas(encode, BLOCKS_SCHEMA)
+    return p.mapInArrow(encode, BLOCKS_SCHEMA)
 
 
 def decode_blocks_to_postings(blocks_pdf: pd.DataFrame) -> pd.DataFrame:
