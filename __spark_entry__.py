@@ -1154,7 +1154,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if not os.path.exists(marker):
             shutil.rmtree(sdir, ignore_errors=True)
             os.makedirs(sdir, exist_ok=True)
-            shutil.copy(src, os.path.join(sdir, "part-00000.parquet"))
+            # testdata ships events as one file; scaled twins ship a
+            # directory of part files — replay whichever shape
+            if os.path.isdir(src):
+                for p in sorted(os.listdir(src)):
+                    if p.endswith(".parquet"):
+                        shutil.copy(os.path.join(src, p), os.path.join(sdir, p))
+            else:
+                shutil.copy(src, os.path.join(sdir, "part-00000.parquet"))
             with open(marker, "w") as f:
                 f.write("ok")
         schema = spark.read.parquet(src).schema

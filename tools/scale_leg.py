@@ -188,7 +188,7 @@ def leg_a(spark) -> dict:
 
 # ------------------------------------------------------------- leg B
 
-_TWIN_VERSION = "v2-multifile"
+_TWIN_VERSION = "v3-events"
 
 
 def synth_sf1(spark) -> None:
@@ -292,6 +292,39 @@ def synth_sf1(spark) -> None:
         pq.write_table(
             emb_table.slice(p * estep, estep),
             os.path.join(emb_dir, f"part-{p:05d}.parquet"),
+        )
+    # events 100k -> 1M rows over the same 30-day span (10x density),
+    # same schema as testdata (naive timestamps, json-ish props)
+    n_ev = 1_000_000
+    base_us = np.int64(1_704_067_200_000_000)  # 2024-01-01T00:00:00Z in µs
+    span_us = np.int64(30 * 24 * 3600) * 1_000_000
+    ts_us = np.sort(base_us + (rng.random(n_ev) * span_us).astype(np.int64))
+    etypes = np.array(["click", "error", "purchase", "signup", "view"], dtype=object)
+    ev_table = pa.table(
+        {
+            "event_id": pa.array(np.arange(n_ev, dtype=np.int64)),
+            "ts": pa.array(ts_us, type=pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 15_000, size=n_ev)),
+            "event_type": pa.array(etypes[rng.integers(0, 5, size=n_ev)]),
+            "value": pa.array(np.round(rng.random(n_ev) * 560.0, 2)),
+            "props": pa.array(
+                np.char.add(
+                    np.char.add(
+                        '{"k": ',
+                        rng.integers(0, 100, size=n_ev).astype(str)
+                    ),
+                    "}",
+                ).astype(object)
+            ),
+        }
+    )
+    ev_dir = os.path.join(SF1_DIR, "events.parquet")
+    os.makedirs(ev_dir)
+    vstep = -(-n_ev // 8)
+    for p in range(8):
+        pq.write_table(
+            ev_table.slice(p * vstep, vstep),
+            os.path.join(ev_dir, f"part-{p:05d}.parquet"),
         )
     with open(os.path.join(SF1_DIR, "_DONE"), "w") as f:
         f.write(_TWIN_VERSION)
