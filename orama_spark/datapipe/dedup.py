@@ -241,32 +241,80 @@ def minhash_signatures(
     def _sig(texts: pd.Series) -> pd.Series:
         import numpy as np
 
-        a = np.array(A, dtype=np.uint64)[:, None]
-        b = np.array(B, dtype=np.uint64)[:, None]
+        from .portable_hash import FNV_OFFSET, FNV_PRIME
+
+        a = np.array(A, dtype=np.uint64)
+        b = np.array(B, dtype=np.uint64)
         p = np.uint64(_P)
-        sentinel = [int(_P)] * len(A)
+        pr = np.uint64(FNV_PRIME)
+        n_h = len(A)
+        sentinel = [int(_P)] * n_h
 
-        def one(t):
+        # Whole-BATCH kernel (not per-row): the per-doc formulation spent
+        # most of its time in per-row Python/numpy-call overhead (regex +
+        # ~10 small numpy ops per doc, measured 10.4 s at 50k docs).
+        # Here every doc's canonical codepoints are concatenated into ONE
+        # array, k-gram FNV hashes are computed in k fused passes over
+        # it (windows crossing doc boundaries masked out), the hashes are
+        # folded to 32 bits and globally deduplicated (np.unique with
+        # inverse — duplicates across docs are common and each costs 64
+        # modmuls), the 64 (a*x+b) mod p rows are evaluated once per
+        # UNIQUE gram, and per-doc minima come from np.minimum.reduceat
+        # over the doc-ordered gather. Bit-identical to the per-doc form:
+        # per-doc np.unique only removed redundant work, min is order-
+        # independent, and the uint64 arithmetic is unchanged.
+        out: list = [None] * len(texts)
+        canons: list[str] = []
+        lens: list[int] = []
+        rows: list[int] = []
+        for i, t in enumerate(texts):
             if t is None:
-                return sentinel
+                out[i] = sentinel
+                continue
             canon = ws_re.sub(" ", t.strip(" "))
-            hs = kgram_hashes(canon, shingle_k)
-            if len(hs) == 0:
-                return sentinel
-            # distinct shingle set (min unaffected, work reduced);
-            # x < 2^32 and a < 2^31 so a*x + b < 2^63: exact in uint64.
-            # Chunked (128 grams/pass) so the 64 x chunk temp stays
-            # L2-resident — the full 64 x n_grams outer product is
-            # memory-bandwidth-bound, the chunked one is ALU-bound
-            # (identical results, ~same ops, 10x less DRAM traffic).
-            x = np.unique(hs & np.int64(_MASK32)).astype(np.uint64)
-            best = np.full(len(A), _P, dtype=np.uint64)
-            for off in range(0, len(x), 128):
-                chunk = x[off:off + 128][None, :]
-                np.minimum(best, ((a * chunk + b) % p).min(axis=1), out=best)
-            return best.astype(np.int64).tolist()
-
-        return texts.map(one)
+            if len(canon) < shingle_k:
+                out[i] = sentinel
+                continue
+            canons.append(canon)
+            lens.append(len(canon))
+            rows.append(i)
+        if canons:
+            lens_a = np.asarray(lens, dtype=np.int64)
+            codes = np.frombuffer(
+                "".join(canons).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.uint64)
+            # FNV fold over every window of the concatenation —
+            # contiguous shifted slices (see kgram_hashes: the
+            # window-view form is 8x the DRAM traffic)
+            nw = len(codes) - shingle_k + 1
+            h = np.full(nw, FNV_OFFSET, dtype=np.uint64)
+            for j in range(shingle_k):
+                h = (h ^ codes[j : j + nw]) * pr
+            # valid = windows fully inside one doc; they are doc-ordered
+            pos_doc = np.repeat(np.arange(len(canons)), lens_a)
+            valid = pos_doc[:nw] == pos_doc[shingle_k - 1 :]
+            hv = (h.view(np.int64)[valid] & np.int64(_MASK32)).astype(np.uint64)
+            # per-doc gram-run offsets (every surviving doc has >=1 gram)
+            grams_per_doc = lens_a - (shingle_k - 1)
+            offs = np.concatenate(([0], np.cumsum(grams_per_doc)[:-1]))
+            # hash-based dedup (pd.factorize), NOT np.unique: word-level
+            # corpora repeat grams heavily across docs (U << N) and the
+            # sort inside np.unique dominated the kernel; min() is
+            # order-independent so unsorted first-seen uniques are fine
+            inv, xu = pd.factorize(hv)
+            xu = np.ascontiguousarray(xu, dtype=np.uint64)
+            # int32 gather indices: the inv array is re-read once per
+            # hash function (64x) — halving its width halves the
+            # dominant DRAM traffic of this loop on a bandwidth-bound VM
+            inv = inv.astype(np.int32, copy=False)
+            best = np.empty((len(canons), n_h), dtype=np.uint64)
+            for j in range(n_h):
+                yu = (a[j] * xu + b[j]) % p
+                best[:, j] = np.minimum.reduceat(yu[inv], offs)
+            sig64 = best.view(np.int64)
+            for d, i in enumerate(rows):
+                out[i] = sig64[d].tolist()
+        return pd.Series(out)
 
     return docs.select(F.col(id_col).alias("id"), _sig(F.col(text_col)).alias("sig"))
 
@@ -290,10 +338,24 @@ def minhash_lsh_pairs(
     """
     assert n_hashes % bands == 0
     r = n_hashes // bands
-    sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_k)
+    # The signature table is MATERIALIZED once per invocation
+    # (localCheckpoint): the plan references it four times (bucket-size
+    # agg, cap semi-join, both sides of the pair self-join), and
+    # Catalyst's filter pushdown re-shapes the subtrees enough that
+    # exchange reuse does NOT deduplicate them — measured at sf1.0, the
+    # signature kernel ran 3-4x per query without this. The checkpoint
+    # is ~10 bytes/hash/doc (the same order as one shuffle of the table)
+    # and is recomputed from the parquet input on every invocation — it
+    # never outlives the query plan that built it.
+    sigs = minhash_signatures(
+        docs, text_col, id_col, n_hashes, shingle_k
+    ).localCheckpoint(eager=True)
     # bucket key = the band's raw minhash subvector (joined on equality
     # — a hash of it would only add collision-induced candidates and
-    # break oracle reproducibility; the string key is ~r*20 bytes)
+    # break oracle reproducibility). The key is the slice ARRAY itself:
+    # array<bigint> equality is exactly element equality, identical
+    # grouping to the previous comma-joined decimal string but without
+    # 16 long->string formats per doc and with a smaller shuffle row.
     buckets = sigs.select(
         "id",
         "sig",
@@ -302,27 +364,38 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.concat_ws(",", F.slice("sig", bi * r + 1, r)).alias("bh"),
+                        F.slice("sig", bi * r + 1, r).alias("bh"),
                     )
                     for bi in range(bands)
                 ]
             )
         ).alias("bk"),
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    # cap hot buckets
+    # cap hot buckets. shuffle_hash hints: the checkpointed input has no
+    # size statistics, so the planner would otherwise BROADCAST the
+    # ok-bucket list (~60 MB) and even the sig-carrying self-join side
+    # (~480 MB at sf1.0 — measured 3x slower than the whole query); the
+    # hinted joins run on the pinned (band, bh) exchanges instead.
     sizes = buckets.groupBy("band", "bh").agg(F.count("*").alias("bsz"))
     buckets = buckets.join(
-        sizes.where(F.col("bsz") <= max_bucket_size).select("band", "bh"),
+        sizes.where(F.col("bsz") <= max_bucket_size)
+        .select("band", "bh")
+        .hint("shuffle_hash"),
         ["band", "bh"],
         "left_semi",
     )
     buckets = _pin_pair_join(buckets, "band", "bh")
     a = buckets.alias("a")
-    b = buckets.alias("b")
+    b = buckets.alias("b").hint("shuffle_hash")
     # compute the signature-agreement estimate BEFORE deduplicating the
-    # per-band candidates: the dedupe shuffle then moves 3 scalars per
-    # pair instead of two 64-element arrays (the arrays would dominate
-    # shuffle volume ~100x)
+    # per-band candidates: the est >= threshold filter drops nearly all
+    # candidate rows, so the dedupe exchange that follows moves only the
+    # (tiny) surviving set — at sf1.0 that is thousands of rows instead
+    # of the 7.5M unique candidate pairs a dedupe-first order shuffles.
+    # (A/B-tested alternative: a sum of 64 literal-index getItem
+    # comparisons — nominally codegen-friendly — measured 115 s vs 6.5 s
+    # for this zip_with form at sf1.0; the giant flat expression defeats
+    # Spark's codegen. Keep the higher-order form.)
     est = F.size(
         F.filter(
             F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
