@@ -125,6 +125,83 @@ def token_shingles(col: Column, n: int = 3) -> Column:
     return _shingles(col)
 
 
+def _shingle_hash_rows(
+    docs: DataFrame, text_col: str, id_col: str, n: int, out_id: str = "id"
+) -> DataFrame:
+    """(out_id, sz, gh) rows: one row per DISTINCT n-token shingle of
+    each doc, gh = a 64-bit FNV-style fold over the shingle's token
+    hashes, sz = the doc's distinct-shingle count.
+
+    This replaces explode(token_shingles(...)): the join/aggregation
+    pipeline downstream only ever compares shingles for EQUALITY, so an
+    (effectively collision-free) 64-bit hash is a drop-in for the
+    20-40 byte shingle string — the shuffles move 8 bytes per shingle
+    and the whole kernel vectorizes (token split in Python, token
+    hashing + window fold + dedup in numpy/pandas across the batch).
+    Carrying sz on every row lets callers aggregate pair sizes without
+    a second corpus pass. Cardinality changes per row, hence mapInArrow
+    rather than a pandas UDF.
+    """
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    from .portable_hash import FNV_OFFSET, FNV_PRIME, token_hashes
+
+    ws_re = re.compile(r"[\t\n\x0b\f\r ]+")
+    id_type = dict(docs.dtypes)[id_col]
+
+    def gen(batches):
+        pr = np.uint64(FNV_PRIME)
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            toks_all: list[str] = []
+            ntoks: list[int] = []
+            for t in texts:
+                if t is None:
+                    ntoks.append(0)
+                    continue
+                toks = ws_re.sub(" ", t.strip(" ")).split(" ")
+                if len(toks) - (n - 1) < 1:
+                    ntoks.append(0)
+                    continue
+                toks_all.extend(toks)
+                ntoks.append(len(toks))
+            ntoks_a = np.asarray(ntoks, dtype=np.int64)
+            th = token_hashes(toks_all).view(np.uint64)
+            nw = len(th) - n + 1
+            if nw <= 0:
+                yield pa.record_batch(
+                    [ids.take(pa.array([], type=pa.int32())),
+                     pa.array([], type=pa.int64()),
+                     pa.array([], type=pa.int64())],
+                    names=[out_id, "sz", "gh"],
+                )
+                continue
+            h = np.full(nw, FNV_OFFSET, dtype=np.uint64)
+            for j in range(n):
+                h = (h ^ th[j : j + nw]) * pr
+            pos_doc = np.repeat(np.arange(len(ntoks_a)), ntoks_a)
+            valid = pos_doc[:nw] == pos_doc[n - 1 :]
+            hv = h[valid].view(np.int64)
+            gdoc = pos_doc[:nw][valid]
+            dd = pd.DataFrame({"d": gdoc, "h": hv}).drop_duplicates()
+            d = dd["d"].to_numpy()
+            szs = np.bincount(d, minlength=len(ntoks_a))
+            yield pa.record_batch(
+                [ids.take(pa.array(d, type=pa.int32())),
+                 pa.array(szs[d], type=pa.int64()),
+                 pa.array(dd["h"].to_numpy(), type=pa.int64())],
+                names=[out_id, "sz", "gh"],
+            )
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInArrow(
+        gen, f"{out_id} {id_type}, sz long, gh long"
+    )
+
+
 def _pin_pair_join(df: DataFrame, *keys: str) -> DataFrame:
     """Pin the shuffle partitioning (count AND keys) feeding a
     pair-generating self-join.
@@ -162,31 +239,35 @@ def ngram_jaccard_pairs(
     threshold share many rarer shingles; pass None to disable (exact
     but unbounded per-shingle work).
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(token_shingles(F.col(text_col), n)).alias("shingle"),
-    )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    from pyspark.sql.window import Window
+
+    # one Arrow kernel emits (id, sz, gh) — hashed shingles with the
+    # doc's distinct-shingle count on every row — so the whole pipeline
+    # is: kernel -> ONE pinned exchange on gh -> window df-cap ->
+    # self-join -> pair aggregation. The previous string-shingle form
+    # re-evaluated the tokenize UDF for the sizes branch, the df-cap
+    # branch and the join (3x the kernel cost) and shuffled 20-40 byte
+    # shingle strings instead of 8-byte hashes.
+    sh = _shingle_hash_rows(docs, text_col, id_col, n)
+    sh = _pin_pair_join(sh, "gh")
     if max_shingle_df is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("sdf"))
-            .where(F.col("sdf") <= max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(keep, "shingle", "left_semi")
-    sh = _pin_pair_join(sh, "shingle")
+        # per-shingle df as a window count on the exchange's own
+        # partitioning — the df-cap costs a per-partition sort, not a
+        # second corpus pass + semi-join
+        sh = sh.withColumn(
+            "sdf", F.count("*").over(Window.partitionBy("gh"))
+        ).where(F.col("sdf") <= max_shingle_df)
     a = sh.alias("a")
     b = sh.alias("b")
-    shared = (
-        a.join(b, "shingle")
+    return (
+        a.join(b, "gh")
         .where(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("shared"))
-    )
-    return (
-        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .agg(
+            F.count("*").alias("shared"),
+            F.first(F.col("a.sz")).alias("sz_a"),
+            F.first(F.col("b.sz")).alias("sz_b"),
+        )
         .select(
             "id_a",
             "id_b",
@@ -655,14 +736,14 @@ def ngram_contamination(
     Returns (train_doc_id, eval_doc_id, n_shared_ngrams) for pairs with
     at least ``min_shared`` shared distinct n-grams.
     """
-    t_sh = train.select(
-        F.col(train_id).alias("train_doc_id"),
-        F.explode(token_shingles(F.col(text_col), n)).alias("shingle"),
-    )
-    e_sh = evals.select(
-        F.col(eval_id).alias("eval_doc_id"),
-        F.explode(token_shingles(F.col(text_col), n)).alias("shingle"),
-    )
+    from pyspark.sql.window import Window
+
+    # hashed shingles from the one-pass Arrow kernel (see
+    # _shingle_hash_rows): equality joins and df counts are unchanged,
+    # but the train-side pass moves 8-byte hashes instead of ~60-byte
+    # 8-gram strings and runs once instead of once per plan branch.
+    t_sh = _shingle_hash_rows(train, text_col, train_id, n, "train_doc_id").drop("sz")
+    e_sh = _shingle_hash_rows(evals, text_col, eval_id, n, "eval_doc_id").drop("sz")
     # only eval-present grams can form pairs, so restrict the train
     # side FIRST (map-side broadcast semi-join) and apply the df cap to
     # that small subset — a gram's train-df is unchanged by the
@@ -670,18 +751,19 @@ def ngram_contamination(
     # full-corpus gram aggregation never happens (the step that would
     # dominate at 100 TB).
     t_sh = t_sh.join(
-        F.broadcast(e_sh.select("shingle").distinct()), "shingle", "left_semi"
+        F.broadcast(e_sh.select("gh").distinct()), "gh", "left_semi"
     )
+    # post-semi the train side is small: pin ONE exchange and take both
+    # the df cap (window count) and the final join off it — the
+    # previous two groupBy branches re-ran the full-corpus tokenize +
+    # semi-join per branch (3x the kernel cost)
+    t_sh = _pin_pair_join(t_sh, "gh")
     if max_shingle_df is not None:
-        keep = (
-            t_sh.groupBy("shingle")
-            .agg(F.count("*").alias("sdf"))
-            .where(F.col("sdf") <= max_shingle_df)
-            .select("shingle")
-        )
-        t_sh = t_sh.join(F.broadcast(keep), "shingle", "left_semi")
+        t_sh = t_sh.withColumn(
+            "sdf", F.count("*").over(Window.partitionBy("gh"))
+        ).where(F.col("sdf") <= max_shingle_df)
     return (
-        t_sh.join(F.broadcast(e_sh), "shingle")
+        t_sh.join(F.broadcast(e_sh), "gh")
         .groupBy("train_doc_id", "eval_doc_id")
         .agg(F.count("*").alias("n_shared_ngrams"))
         .where(F.col("n_shared_ngrams") >= min_shared)
