@@ -517,23 +517,38 @@ def simhash64(
     def _sim(texts: pd.Series) -> pd.Series:
         import numpy as np
 
-        shifts = np.arange(64, dtype=np.uint64)
-
-        def one(t):
+        # whole-batch kernel: one token_hashes call over every token in
+        # the batch, then 64 bit-count passes with per-doc sums via
+        # np.add.reduceat — bit-identical to the per-doc form (same
+        # counts, same majority test, same two's-complement packing),
+        # without the per-row Python/numpy-call overhead
+        out = np.zeros(len(texts), dtype=np.int64)
+        toks_all: list[str] = []
+        ntoks: list[int] = []
+        rows: list[int] = []
+        for i, t in enumerate(texts):
             if t is None:
-                return 0
+                continue
             canon = ws_re.sub(" ", t.strip(" "))
             toks = canon.split(" ") if canon else []
             if not toks:
-                return 0
-            hs = token_hashes(toks).view(np.uint64)
-            # bits[j] = count of tokens with bit j set
-            bits = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
-            pos = (2 * bits) > len(toks)  # sum(+1/-1) > 0
-            val = int((pos.astype(np.uint64) << shifts).sum(dtype=np.uint64))
-            return val - (1 << 64) if val >= (1 << 63) else val  # as int64
-
-        return texts.map(one)
+                continue
+            toks_all.extend(toks)
+            ntoks.append(len(toks))
+            rows.append(i)
+        if rows:
+            ntoks_a = np.asarray(ntoks, dtype=np.int64)
+            offs = np.concatenate(([0], np.cumsum(ntoks_a)[:-1]))
+            hs = token_hashes(toks_all).view(np.uint64)
+            val = np.zeros(len(rows), dtype=np.uint64)
+            one_u = np.uint64(1)
+            for j in range(64):
+                bit_j = (hs >> np.uint64(j)) & one_u
+                cnt = np.add.reduceat(bit_j, offs)
+                pos = (2 * cnt) > ntoks_a  # sum(+1/-1) > 0
+                val |= pos.astype(np.uint64) << np.uint64(j)
+            out[np.asarray(rows)] = val.view(np.int64)
+        return pd.Series(out)
 
     return docs.select(F.col(id_col).alias("id"), _sim(F.col(text_col)).alias("simhash"))
 
@@ -567,20 +582,21 @@ def simhash_pairs(
     chunks = _pin_pair_join(chunks, "chunk", "cv")
     a = chunks.alias("a")
     b = chunks.alias("b")
-    cand = (
+    # Hamming filter BEFORE the dedupe: hamming is a pure function of
+    # the pair, so filtering first yields the identical distinct set
+    # while the dedupe exchange moves only the (tiny) surviving rows
+    # instead of every chunk-collision candidate.
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
         a.join(b, ["chunk", "cv"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            ham.alias("hamming"),
         )
+        .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
-    )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
     )
 
 

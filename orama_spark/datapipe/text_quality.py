@@ -31,21 +31,51 @@ def ws_tokens(col: Column) -> Column:
 
 
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, n_tokens, n_unique_tokens, mean_token_len, max_token_len)."""
-    toks = ws_tokens(F.col(text_col))
-    return docs.select(
-        F.col(id_col).alias("id"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    """(id, n_tokens, n_unique_tokens, mean_token_len, max_token_len).
+
+    Counting runs in ONE Arrow kernel (the previous form was four
+    higher-order/array expressions over the same token array — Spark
+    evaluates those INTERPRETED, re-splitting the text per column); the
+    division/rounding stays in Column arithmetic so results are
+    bit-identical. Token semantics replicate ws_tokens exactly: space
+    trim, Java-\\s collapse ([ \\t\\n\\x0b\\f\\r]), split on ' ' with NO
+    empty-token filtering, [] only for the empty canonical string, and
+    all-null counts for NULL text (size(null) semantics)."""
+    import re as _re
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ws_re = _re.compile(r"[ \t\n\x0b\f\r]+")
+    fields = ["n_tokens", "n_unique", "sum_len", "max_len"]
+    schema = StructType([StructField(f, LongType()) for f in fields])
+
+    @F.pandas_udf(schema)
+    def _counts(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            if t is None:
+                rows.append((None, None, None, None))
+                continue
+            canon = ws_re.sub(" ", t.strip(" "))
+            toks = canon.split(" ") if canon else []
+            lens = [len(x) for x in toks]
+            rows.append(
+                (len(toks), len(set(toks)), sum(lens), max(lens, default=0))
+            )
+        return pd.DataFrame(rows, columns=fields)
+
+    f = docs.select(F.col(id_col).alias("id"), _counts(F.col(text_col)).alias("c"))
+    c = f["c"]
+    return f.select(
+        "id",
+        c["n_tokens"].cast("int").alias("n_tokens"),
+        c["n_unique"].cast("int").alias("n_unique_tokens"),
         F.round(
-            F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
-            .cast("double")
-            / F.greatest(F.size(toks), F.lit(1)),
+            c["sum_len"].cast("double")
+            / F.greatest(c["n_tokens"].cast("int"), F.lit(1)),
             4,
         ).alias("mean_token_len"),
-        F.aggregate(toks, F.lit(0), lambda a, x: F.greatest(a, F.length(x))).alias(
-            "max_token_len"
-        ),
+        c["max_len"].cast("int").alias("max_token_len"),
     )
 
 
