@@ -27,18 +27,34 @@ PII_PATTERNS = [
 ]
 
 
+# cheap literal pre-filter per pattern: a match REQUIRES this substring,
+# so rows without it skip the regex engine entirely (the email class
+# [A-Za-z0-9._%+-]+ matches at almost every position before failing at
+# '@', which made it ~4x the cost of the other patterns — measured at
+# sf1.0; contains() is a memchr). Semantics identical: regexp_count is 0
+# and regexp_replace is the identity whenever the guard is absent.
+_GUARDS = {"email": "@"}
+
+
 def pii_counts(text: Column) -> dict[str, Column]:
     """Per-type match counts (codegen regexp_count)."""
-    return {
-        name: F.regexp_count(text, F.lit(pat)) for name, pat, _ in PII_PATTERNS
-    }
+    out = {}
+    for name, pat, _ in PII_PATTERNS:
+        cnt = F.regexp_count(text, F.lit(pat))
+        g = _GUARDS.get(name)
+        if g is not None:
+            cnt = F.when(text.contains(g), cnt).otherwise(F.lit(0))
+        out[name] = cnt
+    return out
 
 
 def redact(text: Column) -> Column:
     """Mask every PII span with its placeholder, in pattern order."""
     out = text
-    for _, pat, repl in PII_PATTERNS:
-        out = F.regexp_replace(out, pat, repl)
+    for name, pat, repl in PII_PATTERNS:
+        rep = F.regexp_replace(out, pat, repl)
+        g = _GUARDS.get(name)
+        out = F.when(out.contains(g), rep).otherwise(out) if g else rep
     return out
 
 

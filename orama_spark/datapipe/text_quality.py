@@ -404,17 +404,59 @@ def winnowing_fingerprints(
     def _winnow(texts: pd.Series) -> pd.Series:
         import numpy as np
 
-        def one(t):
-            if t is None:
-                return []
-            canon = ws_re.sub(" ", t.strip(" "))
-            hs = kgram_hashes(canon, k)
-            if len(hs) < window:
-                return []
-            sw = np.lib.stride_tricks.sliding_window_view(hs, window)
-            return np.unique(sw.min(axis=1)).tolist()  # sorted distinct
+        from .portable_hash import FNV_OFFSET, FNV_PRIME
 
-        return texts.map(one)
+        # whole-batch kernel (same shape as the minhash signature
+        # kernel): every doc's canonical codepoints concatenated, k-gram
+        # FNV via contiguous shifted slices, sliding min via
+        # window-count shifted-slice minima — windows crossing doc
+        # boundaries masked out. Bit-identical per doc to the previous
+        # per-row form (same int64 hash sequence, same min/unique).
+        pr = np.uint64(FNV_PRIME)
+        out: list = [None] * len(texts)
+        canons: list[str] = []
+        lens: list[int] = []
+        rows: list[int] = []
+        min_len = k + window - 1  # docs below this have no full window
+        for i, t in enumerate(texts):
+            if t is None:
+                out[i] = []
+                continue
+            canon = ws_re.sub(" ", t.strip(" "))
+            if len(canon) < min_len:
+                out[i] = []
+                continue
+            canons.append(canon)
+            lens.append(len(canon))
+            rows.append(i)
+        if canons:
+            lens_a = np.asarray(lens, dtype=np.int64)
+            codes = np.frombuffer(
+                "".join(canons).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.uint64)
+            nw = len(codes) - k + 1
+            h = np.full(nw, FNV_OFFSET, dtype=np.uint64)
+            for j in range(k):
+                h = (h ^ codes[j : j + nw]) * pr
+            pos_doc = np.repeat(np.arange(len(canons)), lens_a)
+            gram_valid = pos_doc[:nw] == pos_doc[k - 1 :]
+            hv = h.view(np.int64)[gram_valid]
+            gdoc = pos_doc[:nw][gram_valid]
+            # sliding min of `window` consecutive grams
+            nm = len(hv) - window + 1
+            m = hv[:nm].copy()
+            for j in range(1, window):
+                np.minimum(m, hv[j : j + nm], out=m)
+            win_valid = gdoc[:nm] == gdoc[window - 1 :]
+            mv = m[win_valid]
+            # per-doc segment bounds in mv: each kept doc contributes
+            # (grams - window + 1) windows, in doc order
+            wins_per_doc = (lens_a - (k - 1)) - (window - 1)
+            ends = np.cumsum(wins_per_doc)
+            starts = ends - wins_per_doc
+            for d, i in enumerate(rows):
+                out[i] = np.unique(mv[starts[d] : ends[d]]).tolist()
+        return pd.Series(out)
 
     return docs.select(F.col(id_col).alias("id"), _winnow(F.col(text_col)).alias("fingerprints"))
 
