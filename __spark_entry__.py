@@ -583,12 +583,16 @@ def _get_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     out = os.path.join(
         "/dev/shm/orama_spark_entry_idx", os.path.basename(os.path.normpath(sf_dir))
     )
-    # the sf fixtures ship doc_id-sorted (verified for every shipped
-    # scale factor), so the docs-stage range shuffle + its sampling
-    # pass are pure overhead — same rows, already-pruned layout
-    IndexBuilder(DOC_CONFIG, docs_already_sorted=True).build(
-        df, out, input_id=sf_dir
-    )
+    # the fixture parquet is ONE row group, so the input scan is one
+    # task no matter the split config; the docs-stage range shuffle is
+    # what fans the corpus out, and postings_partitions sizes it to the
+    # cores (the input-partition default would mirror the degenerate
+    # scan). At production scale inputs arrive in many files/row groups
+    # and the builder's input-sized default applies unchanged.
+    IndexBuilder(
+        DOC_CONFIG,
+        postings_partitions=spark.sparkContext.defaultParallelism,
+    ).build(df, out, input_id=sf_dir)
     idx = SearchIndex.load(spark, out, DOC_CONFIG)
     _INDEX_CACHE[sf_dir] = idx
     return idx
@@ -975,6 +979,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
             .where(F.col("doc_id") % 5 == 0)
             .select("doc_id")
+            # id-only fan-out: the single-row-group fixture scans as ONE
+            # task; the per-row codec work above it needs all cores
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         )
 
         def gen(batches):
@@ -1030,6 +1037,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
             .where(F.col("doc_id") % 7 == 0)
             .select("doc_id")
+            # id-only fan-out: the single-row-group fixture scans as ONE
+            # task; the per-row codec work above it needs all cores
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         )
 
         def gen(batches):
@@ -1102,6 +1112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
             .where(F.col("doc_id") % 3 == 0)
             .select("doc_id")
+            # id-only fan-out: the single-row-group fixture scans as ONE
+            # task; the per-row codec work above it needs all cores
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         )
 
         def gen(batches):
@@ -1160,13 +1173,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shutil.rmtree(sdir, ignore_errors=True)
             os.makedirs(sdir, exist_ok=True)
             # testdata ships events as one file; scaled twins ship a
-            # directory of part files — replay whichever shape
+            # directory of part files — replay whichever shape. A single
+            # file is ONE parquet row group (one scan task for the whole
+            # replay), so re-chunk it into per-core files while copying
+            # — same raw rows, just a parallel-readable layout.
             if os.path.isdir(src):
                 for p in sorted(os.listdir(src)):
                     if p.endswith(".parquet"):
                         shutil.copy(os.path.join(src, p), os.path.join(sdir, p))
             else:
-                shutil.copy(src, os.path.join(sdir, "part-00000.parquet"))
+                import pyarrow.parquet as _pq
+
+                tbl = _pq.read_table(src)
+                k = max(spark.sparkContext.defaultParallelism, 1)
+                step = max((tbl.num_rows + k - 1) // k, 1)
+                for ci, off in enumerate(range(0, tbl.num_rows, step)):
+                    _pq.write_table(
+                        tbl.slice(off, step),
+                        os.path.join(sdir, f"part-{ci:05d}.parquet"),
+                    )
             with open(marker, "w") as f:
                 f.write("ok")
         schema = spark.read.parquet(src).schema
@@ -1375,11 +1400,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprint"] = doc_fingerprint
 
     # ---- training-data pipeline operators (orama_spark.datapipe) ----
+    def _fan_small(spark, df, path, key):
+        """Fan a SMALL single-file table out to the cores once.
+
+        The sf fixtures ship each table as ONE parquet row group, so a
+        scan is a single task no matter how many byte-range splits the
+        planner makes (a row group belongs to the split holding its
+        start offset) — every map-heavy operator above it would run on
+        1 of 32 cores. One deterministic hash repartition (guide §2.5:
+        keyed, not round-robin, so retries are stable) costs a shuffle
+        of the small file and buys full parallelism. Scale-gated: real
+        corpora arrive in many files/row groups and skip the shuffle
+        entirely.
+        """
+        try:
+            sz = (
+                os.path.getsize(path)
+                if os.path.isfile(path)
+                else sum(
+                    os.path.getsize(os.path.join(path, f))
+                    for f in os.listdir(path)
+                    if f.endswith(".parquet")
+                )
+            )
+        except OSError:
+            return df
+        p = spark.sparkContext.defaultParallelism
+        if sz < (64 << 20) * p:  # ~2 GiB at 32 cores: shuffle is cheap
+            return df.repartition(p, key)
+        return df
+
     def _docs(spark, sf_dir):
-        return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        path = os.path.join(sf_dir, "documents.parquet")
+        return _fan_small(spark, spark.read.parquet(path), path, "doc_id")
 
     def _emb(spark, sf_dir):
-        return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        return _fan_small(spark, spark.read.parquet(path), path, "vec_id")
 
     def ngram_jaccard(spark, sf_dir):
         from orama_spark.datapipe.dedup import ngram_jaccard_pairs
