@@ -71,7 +71,10 @@ def restore_index(
     docs_raw = raw["docs"]["docs"]
     docs_rows = []
     for i, oid in enumerate(internal_ids):
-        doc = docs_raw.get(str(i + 1)) or docs_raw.get(i + 1)
+        # explicit None check: an empty document {} is falsy but present
+        doc = docs_raw.get(str(i + 1))
+        if doc is None:
+            doc = docs_raw.get(i + 1)
         if doc is not None:
             docs_rows.append((i + 1, oid, doc))
 

@@ -883,7 +883,11 @@ class SearchIndex:
                 if collation == "auto"
                 else collation
             )
-            if name:
+            # explicit names go through the same capability guard as
+            # 'auto' (icu_collation_for): on a runtime without collation
+            # support degrade to binary order as documented instead of
+            # raising AttributeError (r5 ADVICE)
+            if name and hasattr(F, "collate"):
                 sort_col = F.collate(F.col(prop), name)
         desc = str(order).upper() == "DESC"
         keys = [F.col(prop).isNull().asc()]

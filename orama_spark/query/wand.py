@@ -84,6 +84,7 @@ destroys pruning power; those queries use the plain path).
 from __future__ import annotations
 
 import os
+import threading
 from typing import Iterator, Optional
 
 import numpy as np
@@ -107,6 +108,9 @@ _KEPT_EMPTY_SCHEMA = (
     "df long, clip_start long, clip_end long"
 )
 _EPS = 1e-12  # relative float-jitter allowance on θ comparisons
+# serializes the session-conf toggle around cold metadata fetches (the
+# toggle is session-global; concurrent queries must not see it)
+_COLD_FETCH_LOCK = threading.Lock()
 
 # champion list depth: top CHAMPION_BLOCKS blocks per (field, term) are
 # decoded + scored at BUILD time into index_dir/champions, so the θ seed
@@ -446,23 +450,28 @@ class BlockIndex:
             # keep the cold fetch to ONE job: a LIMIT collect executes
             # incrementally (initialNumPartitions, then 4x more) and AQE
             # additionally materializes the mid-plan limit as its own
-            # stage-job — both toggled off for this single tiny action
+            # stage-job — both toggled off for this single tiny action.
+            # The toggle is session-global, so serialize cold fetches
+            # across threads: without the lock a concurrent query's plan
+            # could compile with AQE off, and interleaved finally blocks
+            # could restore a stale value (r5 ADVICE).
             conf = self.spark.conf
-            saved = {
-                key: conf.get(key, None)
-                for key in ("spark.sql.limit.initialNumPartitions",
-                            "spark.sql.adaptive.enabled")
-            }
-            try:
-                conf.set("spark.sql.limit.initialNumPartitions", "100000")
-                conf.set("spark.sql.adaptive.enabled", "false")
-                fetched = df.collect()
-            finally:
-                for key, v in saved.items():
-                    if v is None:
-                        conf.unset(key)
-                    else:
-                        conf.set(key, v)
+            with _COLD_FETCH_LOCK:
+                saved = {
+                    key: conf.get(key, None)
+                    for key in ("spark.sql.limit.initialNumPartitions",
+                                "spark.sql.adaptive.enabled")
+                }
+                try:
+                    conf.set("spark.sql.limit.initialNumPartitions", "100000")
+                    conf.set("spark.sql.adaptive.enabled", "false")
+                    fetched = df.collect()
+                finally:
+                    for key, v in saved.items():
+                        if v is None:
+                            conf.unset(key)
+                        else:
+                            conf.set(key, v)
             mrows = [r for r in fetched if r["side"] == "m"]
             crows = [r for r in fetched if r["side"] == "c"]
             meta_overflow = False
