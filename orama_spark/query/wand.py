@@ -149,60 +149,94 @@ def _score_blocks_fn(avgs: dict, n_docs: float, bm25_params, clipped: bool,
     reproduces that without duplicating block rows.
     """
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            outs = []
-            has_wt = "wt" in pdf.columns
-            for r in pdf.itertuples(index=False):
-                deltas = varint_decode(bytes(r.docid_deltas)).astype(np.int64)
-                internal = r.first_docid + np.concatenate(
-                    ([0], np.cumsum(deltas[1:]))
-                )
-                origs = varint_decode(bytes(r.orig_docids)).astype(np.int64)
-                fls = varint_decode(bytes(r.field_lens)).astype(np.float64)
-                raw_t = bytes(r.tfns or b"")
+    def fn(batches):
+        # mapInArrow kernel (r5 VERDICT #6): inputs arrive as Arrow
+        # record batches (binary cells become plain bytes, no pandas
+        # object conversion), per-row results accumulate as numpy
+        # arrays, and each input batch yields ONE output batch — the
+        # per-row pd.DataFrame + pd.concat of the previous form was the
+        # dominant cost of the champions pass. Scoring math unchanged.
+        import pyarrow as pa
+
+        for batch in batches:
+            names = batch.schema.names
+            cols = {nm: batch.column(i) for i, nm in enumerate(names)}
+            nrows = batch.num_rows
+            deltas_l = cols["docid_deltas"].to_pylist() if clipped else None
+            first_l = cols["first_docid"].to_pylist() if clipped else None
+            origs_l = cols["orig_docids"].to_pylist()
+            fls_l = cols["field_lens"].to_pylist()
+            tfns_l = cols["tfns"].to_pylist()
+            df_l = cols["df"].to_pylist()
+            field_l = cols["field"].to_pylist()
+            term_l = cols["term"].to_pylist() if with_key else None
+            wt_l = cols["wt"].to_pylist() if "wt" in cols else None
+            clip_s = cols["clip_start"].to_pylist() if clipped else None
+            clip_e = cols["clip_end"].to_pylist() if clipped else None
+            grp_l = cols[group_col].to_pylist() if group_col else None
+            out_docid: list = []
+            out_s: list = []
+            keys: list = []
+            counts: list = []
+            for i in range(nrows):
+                origs = varint_decode(origs_l[i]).astype(np.int64)
+                fls = varint_decode(fls_l[i]).astype(np.float64)
+                raw_t = tfns_l[i] or b""
                 tfns = (
                     varint_decode(raw_t).astype(np.float64) if raw_t else None
                 )
                 if clipped:
-                    m = (internal >= r.clip_start) & (internal <= r.clip_end)
+                    deltas = varint_decode(deltas_l[i]).astype(np.int64)
+                    internal = first_l[i] + np.concatenate(
+                        ([0], np.cumsum(deltas[1:]))
+                    )
+                    m = (internal >= clip_s[i]) & (internal <= clip_e[i])
                     origs, fls = origs[m], fls[m]
                     if tfns is not None:
                         tfns = tfns[m]
                 if len(origs) == 0:
                     continue
                 s = bm25_for_fl(
-                    fls, float(r.df), n_docs, avgs[r.field], bm25_params,
+                    fls, float(df_l[i]), n_docs, avgs[field_l[i]], bm25_params,
                     tfn=tfns,
                 )
-                if has_wt:
-                    s = s * float(r.wt)
+                if wt_l is not None:
+                    s = s * float(wt_l[i])
                 if top_n is not None and len(s) > top_n:
                     sel = np.argpartition(-s, top_n)[:top_n]
                     origs, s = origs[sel], s[sel]
+                out_docid.append(origs)
+                out_s.append(s)
+                counts.append(len(origs))
                 if with_key:
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "field": np.full(len(origs), r.field, dtype=object),
-                                "term": np.full(len(origs), r.term, dtype=object),
-                                "docid": origs,
-                                "s": s,
-                            }
-                        )
-                    )
+                    keys.append((field_l[i], term_l[i]))
                 elif group_col is not None:
-                    outs.append(pd.DataFrame({
-                        group_col: np.full(
-                            len(origs), getattr(r, group_col), dtype=object
-                        ),
-                        "docid": origs,
-                        "s": s,
-                    }))
-                else:
-                    outs.append(pd.DataFrame({"docid": origs, "s": s}))
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+                    keys.append(grp_l[i])
+            if not out_docid:
+                continue
+            docid_a = pa.array(np.concatenate(out_docid), type=pa.int64())
+            s_a = pa.array(np.concatenate(out_s), type=pa.float64())
+            cnt = np.asarray(counts)
+            if with_key:
+                f_arr = pa.array(
+                    np.repeat(np.array([k[0] for k in keys], dtype=object), cnt)
+                )
+                t_arr = pa.array(
+                    np.repeat(np.array([k[1] for k in keys], dtype=object), cnt)
+                )
+                yield pa.record_batch(
+                    [f_arr, t_arr, docid_a, s_a],
+                    names=["field", "term", "docid", "s"],
+                )
+            elif group_col is not None:
+                g_arr = pa.array(
+                    np.repeat(np.array(keys, dtype=object), cnt)
+                )
+                yield pa.record_batch(
+                    [g_arr, docid_a, s_a], names=[group_col, "docid", "s"]
+                )
+            else:
+                yield pa.record_batch([docid_a, s_a], names=["docid", "s"])
 
     return fn
 
@@ -582,7 +616,7 @@ class BlockIndex:
         # thousand scored rows per term — bounded, never global.
         champ_cand = blocks_df.where(F.col("champ_rk") > 0)
         avgs = {f_: float(v["avg_field_length"]) for f_, v in stats["fields"].items()}
-        scored = champ_cand.mapInPandas(
+        scored = champ_cand.mapInArrow(
             _score_blocks_fn(avgs, float(stats["docs_count"]), config.bm25,
                              clipped=False, with_key=True,
                              top_n=CHAMPION_POSTINGS_PER_BLOCK),
@@ -891,7 +925,7 @@ class BlockIndex:
                 .where(F.col("_rk") <= n_seed_blocks)
                 .drop("_rk")
             )
-            seed_scored = seed_blocks.mapInPandas(
+            seed_scored = seed_blocks.mapInArrow(
                 self._score_kernel(clipped=False), _SCORED_SCHEMA
             )
             theta_df = None
@@ -1003,7 +1037,7 @@ class BlockIndex:
         kept, theta_df = self._prune(meta, k, keep_ids, tokens)
 
         # phase 2: decode + score surviving clips only
-        scored = kept.mapInPandas(self._score_kernel(clipped=True), _SCORED_SCHEMA)
+        scored = kept.mapInArrow(self._score_kernel(clipped=True), _SCORED_SCHEMA)
         if keep_ids is not None:
             scored = scored.join(keep_ids, "docid", "left_semi")
         scored = (
