@@ -1613,28 +1613,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def gopher(spark, sf_dir):
         from orama_spark.datapipe.text_quality import gopher_rules
 
-        docs = _docs(spark, sf_dir).select(
+        # the planted variants are emitted in ONE scan pass via a
+        # per-row array + explode (the previous 5-arm union re-scanned
+        # and re-shuffled the corpus per arm); identical row multiset.
+        path = os.path.join(sf_dir, "documents.parquet")
+        raw = spark.read.parquet(path).select(
             "doc_id", F.coalesce("text", F.lit("")).alias("text")
         )
 
-        def slice_(mod, shift, text_expr):
-            return docs.where(F.col("doc_id") % 10 == mod).select(
-                (F.col("doc_id") + shift).alias("doc_id"), text_expr.alias("text")
+        def var(mod, shift, text_expr):
+            # null when the row is not in the slice (filtered below)
+            return F.when(
+                F.col("doc_id") % 10 == mod,
+                F.struct(
+                    (F.col("doc_id") + shift).alias("doc_id"),
+                    text_expr.alias("text"),
+                ),
             )
 
-        planted = [
+        arr = F.array(
+            F.struct(F.col("doc_id"), F.col("text")),
             # trips ok_stopwords -> 1 (and nothing else by itself)
-            slice_(1, 1000000, F.concat(F.col("text"), F.lit(" of and that have"))),
+            var(1, 1000000, F.concat(F.col("text"), F.lit(" of and that have"))),
             # every line a bullet -> ok_bullet_lines = 0
-            slice_(2, 2000000, F.concat(F.lit("- "), F.regexp_replace("text", " ", "\n- "))),
+            var(2, 2000000, F.concat(F.lit("- "), F.regexp_replace("text", " ", "\n- "))),
             # ellipsis spam -> ok_symbol_ratio = 0
-            slice_(3, 3000000, F.concat(F.col("text"), F.repeat(F.lit(" ..."), 20))),
+            var(3, 3000000, F.concat(F.col("text"), F.repeat(F.lit(" ..."), 20))),
             # duplicated line -> ok_dup_lines = 0
-            slice_(4, 4000000, F.concat(F.col("text"), F.lit("\n"), F.col("text"))),
-        ]
-        allp = docs
-        for pl in planted:
-            allp = allp.unionByName(pl)
+            var(4, 4000000, F.concat(F.col("text"), F.lit("\n"), F.col("text"))),
+        )
+        allp = (
+            raw.select(
+                F.explode(F.filter(arr, lambda x: x.isNotNull())).alias("r")
+            )
+            .select(F.col("r.doc_id").alias("doc_id"), F.col("r.text").alias("text"))
+        )
+        allp = _fan_small(spark, allp, path, "doc_id")
         return gopher_rules(allp).withColumnRenamed("id", "docid")
     q["text_gopher_rules"] = gopher
 
@@ -1697,22 +1711,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def repetition(spark, sf_dir):
         from orama_spark.datapipe.text_quality import repetition_stats
 
-        docs = _docs(spark, sf_dir).select(
+        # single-pass planting via array+explode (see gopher)
+        path = os.path.join(sf_dir, "documents.parquet")
+        raw = spark.read.parquet(path).select(
             "doc_id", F.coalesce("text", F.lit("")).alias("text")
         )
-        planted = [
-            docs.where(F.col("doc_id") % 10 == 4).select(
-                (F.col("doc_id") + 4000000).alias("doc_id"),
-                F.concat(F.col("text"), F.lit("\n"), F.col("text")).alias("text"),
-            ),
-            docs.where(F.col("doc_id") % 10 == 5).select(
-                (F.col("doc_id") + 5000000).alias("doc_id"),
-                F.concat(F.col("text"), F.lit(" "), F.col("text")).alias("text"),
-            ),
-        ]
-        allp = docs
-        for pl in planted:
-            allp = allp.unionByName(pl)
+
+        def var(mod, shift, text_expr):
+            return F.when(
+                F.col("doc_id") % 10 == mod,
+                F.struct(
+                    (F.col("doc_id") + shift).alias("doc_id"),
+                    text_expr.alias("text"),
+                ),
+            )
+
+        arr = F.array(
+            F.struct(F.col("doc_id"), F.col("text")),
+            var(4, 4000000, F.concat(F.col("text"), F.lit("\n"), F.col("text"))),
+            var(5, 5000000, F.concat(F.col("text"), F.lit(" "), F.col("text"))),
+        )
+        allp = (
+            raw.select(
+                F.explode(F.filter(arr, lambda x: x.isNotNull())).alias("r")
+            )
+            .select(F.col("r.doc_id").alias("doc_id"), F.col("r.text").alias("text"))
+        )
+        allp = _fan_small(spark, allp, path, "doc_id")
         return repetition_stats(allp).withColumnRenamed("id", "docid")
     q["text_repetition"] = repetition
 
