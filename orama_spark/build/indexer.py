@@ -203,7 +203,9 @@ class IndexBuilder:
             )
             return {"path": postings_path}
 
-        results["postings"] = manifest.run_stage("postings", fp, _postings)
+        # placeholder — postings now runs inside the overlapped chains
+        # below (guide §2.6: two independent stage chains share the
+        # scheduler so one chain's stragglers backfill the other)
 
         def _docmeta():
             # scalar: field_len = token count. string[]: the LAST
@@ -237,7 +239,6 @@ class IndexBuilder:
             dm.write.mode("overwrite").parquet(docmeta_path)
             return {"path": docmeta_path}
 
-        results["docmeta"] = manifest.run_stage("docmeta", fp, _docmeta)
 
         # --- stage: dictionary (term df per field)
         dict_path = os.path.join(out_dir, "dictionary")
@@ -254,7 +255,6 @@ class IndexBuilder:
             )
             return {"path": dict_path}
 
-        results["dictionary"] = manifest.run_stage("dictionary", fp, _dictionary)
 
         # --- stage: length-banded dictionary copy for the fuzzy path.
         # The primary dictionary is sorted by (field, term) so exact/
@@ -281,9 +281,6 @@ class IndexBuilder:
             )
             return {"path": bylen_path}
 
-        results["dictionary_bylen"] = manifest.run_stage(
-            "dictionary_bylen", fp, _dictionary_bylen
-        )
 
         # --- stage: stats (global doc count + per-field avg field length)
         stats_path = os.path.join(out_dir, "stats.json")
@@ -326,7 +323,35 @@ class IndexBuilder:
                 json.dump(stats, fh, indent=1)
             return {"path": stats_path, "docs_count": int(docs_count)}
 
-        results["stats"] = manifest.run_stage("stats", fp, _stats)
+        # Overlap the two independent stage chains (guide §2.6): the
+        # postings chain (postings -> dictionary -> dictionary_bylen)
+        # and the docmeta chain (docmeta -> stats) share no data, so a
+        # second driver thread lets the shorter chain's jobs backfill
+        # executor slots freed by the longer one's stragglers. Spark's
+        # scheduler handles concurrent jobs natively; the manifest
+        # serializes its own writes.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _chain_postings() -> dict:
+            return {
+                "postings": manifest.run_stage("postings", fp, _postings),
+                "dictionary": manifest.run_stage("dictionary", fp, _dictionary),
+                "dictionary_bylen": manifest.run_stage(
+                    "dictionary_bylen", fp, _dictionary_bylen
+                ),
+            }
+
+        def _chain_docmeta() -> dict:
+            return {
+                "docmeta": manifest.run_stage("docmeta", fp, _docmeta),
+                "stats": manifest.run_stage("stats", fp, _stats),
+            }
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fa = pool.submit(_chain_postings)
+            fb = pool.submit(_chain_docmeta)
+            results.update(fa.result())
+            results.update(fb.result())
         manifest.save()
         cfg.hooks.run_observe("after_insert_multiple", df, results)
         return results

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -21,6 +22,11 @@ from typing import Any, Callable
 class BuildManifest:
     root: str
     entries: dict[str, dict] = field(default_factory=dict)
+    # guards entries mutation + save: independent stages may complete
+    # concurrently (indexer overlaps the postings and docmeta chains)
+    _lock: threading.Lock = field(
+        default_factory=threading.Lock, repr=False, compare=False
+    )
 
     @property
     def path(self) -> str:
@@ -72,6 +78,7 @@ class BuildManifest:
             seconds=round(time.time() - t0, 3),
             completed_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         )
-        self.entries[stage] = metrics
-        self.save()
+        with self._lock:
+            self.entries[stage] = metrics
+            self.save()
         return metrics
