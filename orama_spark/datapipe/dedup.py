@@ -258,7 +258,11 @@ def ngram_jaccard_pairs(
             "sdf", F.count("*").over(Window.partitionBy("gh"))
         ).where(F.col("sdf") <= max_shingle_df)
     a = sh.alias("a")
-    b = sh.alias("b")
+    # shuffle_hash: both sides sit on the SAME pinned (gh) exchange —
+    # the planner would otherwise broadcast the whole capped shingle
+    # table (~2.4M rows at sf1.0) and duplicate the kernel+window chain
+    # into the broadcast build side
+    b = sh.alias("b").hint("shuffle_hash")
     return (
         a.join(b, "gh")
         .where(F.col("a.id") < F.col("b.id"))
@@ -550,6 +554,12 @@ def simhash64(
             out[np.asarray(rows)] = val.view(np.int64)
         return pd.Series(out)
 
+    # guide §4.4: the join-key null filter the planner synthesizes from
+    # the chunk expressions gets pushed below the fan-out exchange and
+    # DUPLICATES the kernel (two stacked ArrowEvalPython nodes in the
+    # sf1.0 plan); non-deterministic blocks the reorder — the filter is
+    # vacuous anyway (the kernel never returns null)
+    _sim = _sim.asNondeterministic()
     return docs.select(F.col(id_col).alias("id"), _sim(F.col(text_col)).alias("simhash"))
 
 
@@ -581,7 +591,9 @@ def simhash_pairs(
     ).select("id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.cv").alias("cv"))
     chunks = _pin_pair_join(chunks, "chunk", "cv")
     a = chunks.alias("a")
-    b = chunks.alias("b")
+    # shuffle_hash: a broadcast build side would re-evaluate the whole
+    # kernel+explode chain instead of reusing the pinned exchange
+    b = chunks.alias("b").hint("shuffle_hash")
     # Hamming filter BEFORE the dedupe: hamming is a pure function of
     # the pair, so filtering first yields the identical distinct set
     # while the dedupe exchange moves only the (tiny) surviving rows
