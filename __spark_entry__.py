@@ -1879,17 +1879,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new-this-round ones) to the FRONT so the record can't go stale
     # on them again.
     front = [
-        # the 10 rows ABSENT from CORRECTNESS_r04.json (the driver
+        # the 17 rows ABSENT from CORRECTNESS_r05.json (the driver
         # records ~50/run; whatever trails the dict is what it drops)
-        # plus the one r4 err row — these lead the r5 record.
-        "hybrid_topk", "text_gopher_rules", "dedup_paragraph",
-        "parsedoc_records", "text_repetition", "url_dedup",
-        "url_domain_stats", "sample_stratified", "pii_scrub",
-        "url_blocklist", "dedup_exact_capped",
-        # new in r5
-        "image_jpeg_features", "sort_title_de", "text_bpe_exact",
-        "persist_roundtrip", "media_container_meta",
-        "stream_events_windowed", "flt_stream_built",
+        # — rotate them to the front so every query has a green driver
+        # row within the last two rounds (r5 verdict item 1).
+        "ann_ivf_topk", "decontaminate", "dedup_embedding",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_simhash", "doc_fingerprint", "flt_batch",
+        "flt_string_array_after_remove", "text_bpe_tokens",
+        "text_lang_id", "text_quality_score", "text_token_stats",
+        "text_winnowing", "token_count", "vec_topk",
     ]
     ordered = {k: q[k] for k in front if k in q}
     ordered.update(q)
