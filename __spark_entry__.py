@@ -985,13 +985,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def image_png(spark, sf_dir):
         from orama_spark.datapipe import multimodal as mm
 
-        docs = (
-            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _path = os.path.join(sf_dir, "documents.parquet")
+        docs = _fan_small(
+            spark,
+            spark.read.parquet(_path)
             .where(F.col("doc_id") % 5 == 0)
-            .select("doc_id")
-            # id-only fan-out: the single-row-group fixture scans as ONE
-            # task; the per-row codec work above it needs all cores
-            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+            .select("doc_id"),
+            # id-only fan-out; PNG synth+decode here is cheap enough
+            # that width scales with input (light), unlike JPEG below
+            _path, "doc_id", light=True,
         )
 
         def gen(batches):
@@ -1118,13 +1120,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def media_container(spark, sf_dir):
         from orama_spark.datapipe import containers as ct
 
-        docs = (
-            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        _path = os.path.join(sf_dir, "documents.parquet")
+        docs = _fan_small(
+            spark,
+            spark.read.parquet(_path)
             .where(F.col("doc_id") % 3 == 0)
-            .select("doc_id")
-            # id-only fan-out: the single-row-group fixture scans as ONE
-            # task; the per-row codec work above it needs all cores
-            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+            .select("doc_id"),
+            # id-only fan-out; the frame-header walk is light — width
+            # scales with input
+            _path, "doc_id", light=True,
         )
 
         def gen(batches):
@@ -1410,7 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprint"] = doc_fingerprint
 
     # ---- training-data pipeline operators (orama_spark.datapipe) ----
-    def _fan_small(spark, df, path, key):
+    def _fan_small(spark, df, path, key, light=False):
         """Fan a SMALL single-file table out to the cores once.
 
         The sf fixtures ship each table as ONE parquet row group, so a
@@ -1422,6 +1426,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         of the small file and buys full parallelism. Scale-gated: real
         corpora arrive in many files/row groups and skip the shuffle
         entirely.
+
+        light=True marks operators whose per-byte kernel cost is near
+        the shuffle's own cost (pure-Column URL math, one-pass counting
+        kernels): for those a fixed cores-wide exchange LOSES below a
+        few MiB of input (measured: +0.08-0.23 s per query at sf0.1),
+        so the width scales with input bytes (~1 partition/MiB, capped
+        at the cores) and the shuffle is skipped entirely when the
+        input rounds to a single partition. Heavy hash/codec kernels
+        (MinHash, shingles, SimHash, winnowing, JPEG) keep full width:
+        their single-thread cost dominates at every fixture scale.
         """
         try:
             sz = (
@@ -1436,9 +1450,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         except OSError:
             return df
         p = spark.sparkContext.defaultParallelism
+        if light:
+            p = min(p, sz >> 20)  # ~1 partition per MiB of input
+            if p < 2:
+                return df
         if sz < (64 << 20) * p:  # ~2 GiB at 32 cores: shuffle is cheap
             return df.repartition(p, key)
         return df
+
+    def _docs_light(spark, sf_dir):
+        path = os.path.join(sf_dir, "documents.parquet")
+        return _fan_small(
+            spark, spark.read.parquet(path), path, "doc_id", light=True
+        )
 
     def _docs(spark, sf_dir):
         path = os.path.join(sf_dir, "documents.parquet")
@@ -1503,7 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def langid(spark, sf_dir):
         from orama_spark.datapipe.text_quality import lang_id
 
-        return lang_id(_docs(spark, sf_dir)).withColumnRenamed("id", "docid")
+        return lang_id(_docs_light(spark, sf_dir)).withColumnRenamed("id", "docid")
     q["text_lang_id"] = langid
 
     def tokstats(spark, sf_dir):
@@ -1749,7 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def url_dedup_q(spark, sf_dir):
         from orama_spark.datapipe.urls import url_dedup
 
-        docs = _docs(spark, sf_dir).select("doc_id")
+        docs = _docs_light(spark, sf_dir).select("doc_id")
         b = (F.col("doc_id") % 100).cast("string")
         base = F.when(
             F.col("doc_id") % 2 == 0, F.lit("HTTP://Example.COM:80")
@@ -1768,7 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def url_domains(spark, sf_dir):
         from orama_spark.datapipe.urls import domain_stats
 
-        docs = _docs(spark, sf_dir)
+        docs = _docs_light(spark, sf_dir)
         urls = docs.select(
             F.concat(
                 F.lit("https://"), F.col("source"),
@@ -1786,7 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def sample_stratified(spark, sf_dir):
         from orama_spark.datapipe.sampling import stratified_sample
 
-        docs = _docs(spark, sf_dir).select("doc_id", "lang")
+        docs = _docs_light(spark, sf_dir).select("doc_id", "lang")
         rates = {"en": 0.3, "de": 0.8, "fr": 0.5, "es": 0.1, "zh": 0.0}
         return stratified_sample(docs, rates, strata_col="lang")
     q["sample_stratified"] = sample_stratified
